@@ -1,0 +1,110 @@
+"""Learned ANI debias — tensorized GBDT readout.
+
+The reference embeds two gbdt-rs LAD ensembles (195 trees, depth 3)
+(reference: src/model.rs, applied in src/regression.rs:30-64).  Here the
+trees are flattened to (n_trees, n_nodes) tensors (models/gbdt_*.npz,
+produced by tools/convert_gbdt.py) and evaluated with a vectorized
+gather/where traversal: prediction = bias + shrinkage * sum(tree leaf preds),
+in f32 like the reference (gbdt-rs ValueType = f32; split rule
+feature < threshold -> left).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+from .params import TOTAL_BASES_REGRESS_CUTOFF
+
+_MODEL_DIR = os.path.join(os.path.dirname(__file__), "models")
+
+
+class GbdtModel:
+    def __init__(self, npz_path: str):
+        d = np.load(npz_path)
+        self.feature_index = d["feature_index"]
+        self.threshold = d["threshold"]
+        self.left = d["left"]
+        self.right = d["right"]
+        self.is_leaf = d["is_leaf"]
+        self.pred = d["pred"]
+        self.bias = np.float32(d["bias"])
+        self.shrinkage = np.float32(d["shrinkage"])
+        self.n_trees = int(d["n_trees"])
+        self.max_depth = int(d["max_depth"])
+
+    def predict(self, features: np.ndarray) -> np.ndarray:
+        """features: (batch, 5) f32 -> (batch,) f32 predictions."""
+        features = np.asarray(features, dtype=np.float32)
+        if features.ndim == 1:
+            features = features[None, :]
+        batch = features.shape[0]
+        t = np.arange(self.n_trees)
+        node = np.zeros((batch, self.n_trees), dtype=np.int32)
+        for _ in range(self.max_depth + 1):
+            fi = self.feature_index[t[None, :], node]
+            th = self.threshold[t[None, :], node]
+            leaf = self.is_leaf[t[None, :], node]
+            fv = np.take_along_axis(features, fi.reshape(batch, -1),
+                                    axis=1).reshape(batch, self.n_trees)
+            go_left = fv < th
+            nxt = np.where(go_left, self.left[t[None, :], node],
+                           self.right[t[None, :], node])
+            node = np.where(leaf, node, nxt.astype(np.int32))
+        leaf_pred = self.pred[t[None, :], node]
+        # f32 accumulation order: bias + shrinkage*p0 + shrinkage*p1 + ...
+        acc = np.full(batch, self.bias, dtype=np.float32)
+        for ti in range(self.n_trees):
+            acc = (acc + self.shrinkage * leaf_pred[:, ti]).astype(np.float32)
+        return acc
+
+
+@functools.lru_cache(maxsize=2)
+def _load(name: str) -> GbdtModel:
+    return GbdtModel(os.path.join(_MODEL_DIR, name))
+
+
+def use_learned_ani(c: int, individual_contig_q: bool,
+                    individual_contig_r: bool, median: bool) -> bool:
+    """reference: src/regression.rs:8-10"""
+    return c >= 70 and not individual_contig_q and not individual_contig_r \
+        and not median
+
+
+def get_model(c: int, learned_ani: bool) -> Optional[GbdtModel]:
+    """reference: src/regression.rs:12-28"""
+    if not learned_ani:
+        return None
+    if abs(c - 125) < abs(c - 200):
+        return _load("gbdt_c125.npz")
+    return _load("gbdt_c200.npz")
+
+
+def predict_from_ani_res(ani_res, model: GbdtModel) -> None:
+    """reference: src/regression.rs:30-64 (feature order depends on which
+    genome has the larger median contig length)."""
+    if not (np.float32(ani_res.ani) > np.float32(0.9)
+            and ani_res.total_bases_covered > TOTAL_BASES_REGRESS_CUTOFF):
+        return
+    if ani_res.quant_50_contig_len_r > ani_res.quant_50_contig_len_q:
+        feats = [np.float32(ani_res.ani) * np.float32(100.0),
+                 ani_res.std,
+                 ani_res.quant_90_contig_len_r,
+                 ani_res.quant_90_contig_len_q,
+                 np.float32(ani_res.avg_chain_int_len)]
+    else:
+        feats = [np.float32(ani_res.ani) * np.float32(100.0),
+                 ani_res.std,
+                 ani_res.quant_90_contig_len_q,
+                 ani_res.quant_90_contig_len_r,
+                 np.float32(ani_res.avg_chain_int_len)]
+    pred = float(model.predict(np.array(feats, dtype=np.float32))[0])
+    if pred < 100.0:
+        p = float(np.float32(pred) / np.float32(100.0))
+        ani_res.ci_upper = float(np.float32(ani_res.ci_upper)
+                                 - np.float32(ani_res.ani) + np.float32(p))
+        ani_res.ci_lower = float(np.float32(ani_res.ci_lower)
+                                 - np.float32(ani_res.ani) + np.float32(p))
+        ani_res.ani = p
