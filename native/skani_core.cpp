@@ -1,0 +1,492 @@
+// skani-tpu native core: per-pair ANI pipeline + seeding hot loop.
+//
+// This is the host-side runtime complement to the TPU kernels: the ragged,
+// branchy bookkeeping (anchor join, fragment chunking, chain extraction,
+// greedy overlap resolution, per-chunk ANI statistics) runs here at native
+// speed, while the dense DP/hash math runs on the device.  Semantics
+// transcribe the reference pipeline exactly (reference: src/chain.rs,
+// src/seeding.rs); the Python reference path in skani_tpu/chain.py is the
+// oracle this library is fuzz-validated against.
+//
+// C ABI only (consumed via ctypes).
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Seeding (reference: src/seeding.rs:225-323)
+// ---------------------------------------------------------------------------
+
+// NOTE: the reference's Rust `!key.wrapping_add(key << 21)` parses as
+// NOT(key + (key<<21)) — different from minimap2's classic
+// `(~key) + (key << 21)`.  The reference's variant is the spec
+// (validated against a skani-produced sketch fixture).
+static inline uint64_t mm_hash64(uint64_t key) {
+    key = ~(key + (key << 21));
+    key = key ^ (key >> 24);
+    key = (key + (key << 3)) + (key << 8);
+    key = key ^ (key >> 14);
+    key = (key + (key << 2)) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return key;
+}
+
+// out arrays must hold up to len entries. returns number of seeds;
+// n_markers receives the marker count (written to marker_out).
+int64_t fmh_seeds(const uint8_t* seq, int64_t len, int64_t c, int64_t k,
+                  int64_t marker_c,
+                  uint32_t* kmer_out, uint32_t* pos_out, uint8_t* canon_out,
+                  uint64_t* marker_out, int64_t* n_markers) {
+    const int64_t mk = 21;
+    *n_markers = 0;
+    if (len < 2 * mk) return 0;
+    static uint64_t B2S[256];
+    static bool init = false;
+    if (!init) {
+        memset(B2S, 0, sizeof(B2S));
+        B2S['C'] = 1; B2S['G'] = 2; B2S['T'] = 3; B2S['U'] = 3;
+        B2S['c'] = 1; B2S['g'] = 2; B2S['t'] = 3; B2S['u'] = 3;
+        init = true;
+    }
+    const uint64_t seed_mask = (~0ULL) >> (64 - 2 * k);
+    const uint64_t marker_mask = (~0ULL) >> (64 - 2 * mk);
+    const uint64_t marker_rev_mask = ~(3ULL << (2 * mk - 2));
+    const int marker_shift = 2 * (mk - 1);
+    const uint64_t thr = (~0ULL) / (uint64_t)c;
+    const uint64_t thr_m = (~0ULL) / (uint64_t)marker_c;
+    uint64_t f = 0, r = 0;
+    for (int64_t i = 0; i < mk - 1; i++) {
+        uint64_t nf = B2S[seq[i]];
+        f = (f << 2) | nf;
+        r = (r >> 2) | ((3 - nf) << marker_shift);
+    }
+    int64_t n = 0;
+    int64_t resume_ind = 0;
+    for (int64_t i = mk - 1; i < len; i++) {
+        uint8_t b = seq[i];
+        if (b == 'N' || b == 'n') resume_ind = i + k;
+        uint64_t nf = B2S[b];
+        f = ((f << 2) | nf) & marker_mask;
+        r = ((r >> 2) & marker_rev_mask) | ((3 - nf) << marker_shift);
+        uint64_t fs = f & seed_mask, rs = r & seed_mask;
+        bool canon = fs < rs;
+        uint64_t kmer = canon ? fs : rs;
+        uint64_t h = mm_hash64(kmer);
+        if (h < thr && resume_ind <= i) {
+            kmer_out[n] = (uint32_t)kmer;
+            pos_out[n] = (uint32_t)i;
+            canon_out[n] = canon ? 1 : 0;
+            n++;
+            if (h < thr_m) {
+                marker_out[(*n_markers)++] = f < r ? f : r;
+            }
+        }
+    }
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// Per-pair pipeline (reference: src/chain.rs:144-171 and callees)
+// ---------------------------------------------------------------------------
+
+struct Anchor {
+    uint32_t qc, qp, rc, rp;
+    uint8_t rev;
+    bool operator<(const Anchor& o) const {
+        if (qc != o.qc) return qc < o.qc;
+        if (qp != o.qp) return qp < o.qp;
+        if (rc != o.rc) return rc < o.rc;
+        if (rp != o.rp) return rp < o.rp;
+        return rev < o.rev;
+    }
+};
+
+struct Interval {
+    double score;
+    int64_t num_anchors;
+    uint32_t q0, q1, r0, r1;
+    int64_t rc, qc, chunk_id;
+    uint8_t rev;
+};
+
+struct PairResult {
+    std::vector<double> ani_est;
+    std::vector<int64_t> weight;
+    uint64_t total_query_bases = 0;
+    uint64_t total_ref_range = 0;
+    uint64_t avg_chain_int_len = 0;
+    int64_t num_chains = 0;
+    int64_t n_anchors = 0;
+};
+
+// Sorted-desc order matching the reference's derived PartialOrd on
+// ChainInterval (score, num_anchors, q-interval, r-interval, ref_contig,
+// query_contig, chunk_id, reverse, overlap) (reference: src/types.rs:508-519)
+static bool interval_gt(const Interval& a, const Interval& b) {
+    if (a.score != b.score) return a.score > b.score;
+    if (a.num_anchors != b.num_anchors) return a.num_anchors > b.num_anchors;
+    if (a.q0 != b.q0) return a.q0 > b.q0;
+    if (a.q1 != b.q1) return a.q1 > b.q1;
+    if (a.r0 != b.r0) return a.r0 > b.r0;
+    if (a.r1 != b.r1) return a.r1 > b.r1;
+    if (a.rc != b.rc) return a.rc > b.rc;
+    if (a.qc != b.qc) return a.qc > b.qc;
+    if (a.chunk_id != b.chunk_id) return a.chunk_id > b.chunk_id;
+    return a.rev > b.rev;
+}
+
+// CSR sketch view
+struct SketchView {
+    const uint32_t* kmers;
+    const int64_t* starts;  // len nk+1
+    int64_t nk;
+    const uint32_t* pos;
+    const uint32_t* ctg;
+    const uint8_t* canon;
+};
+
+static void build_anchors(const SketchView& q, const SketchView& r,
+                          int64_t band, std::vector<Anchor>& anchors,
+                          std::vector<std::vector<uint32_t>>& qpa,
+                          int64_t n_q_contigs) {
+    qpa.assign((size_t)n_q_contigs, {});
+    int64_t i = 0, j = 0;
+    while (i < q.nk) {
+        uint32_t kq = q.kmers[i];
+        while (j < r.nk && r.kmers[j] < kq) j++;
+        int64_t qs = q.starts[i], qe = q.starts[i + 1];
+        int64_t qc = qe - qs;
+        if (qc > band) { i++; continue; }
+        bool in_r = (j < r.nk && r.kmers[j] == kq);
+        if (!in_r) {
+            for (int64_t t = qs; t < qe; t++)
+                qpa[q.ctg[t]].push_back(q.pos[t]);
+        } else {
+            int64_t rs = r.starts[j], re = r.starts[j + 1];
+            if (re - rs > band) { i++; continue; }
+            for (int64_t t = qs; t < qe; t++)
+                qpa[q.ctg[t]].push_back(q.pos[t]);
+            for (int64_t t = qs; t < qe; t++)
+                for (int64_t u = rs; u < re; u++)
+                    anchors.push_back({q.ctg[t], q.pos[t], r.ctg[u],
+                                       r.pos[u],
+                                       (uint8_t)(q.canon[t] != r.canon[u])});
+        }
+        i++;
+    }
+    std::sort(anchors.begin(), anchors.end());
+    for (auto& v : qpa) std::sort(v.begin(), v.end());
+}
+
+// fragment chunking (reference: src/chain.rs:738-826). Returns chunk start
+// indices (chunk i = anchors[cs[i], cs[i+1])) and per-chunk seed positions.
+static void chunk_anchors(const std::vector<Anchor>& anchors,
+                          const std::vector<std::vector<uint32_t>>& qpa,
+                          int64_t fragment_length,
+                          std::vector<int64_t>& chunk_starts,
+                          std::vector<std::vector<uint32_t>>& seeds) {
+    chunk_starts.clear();
+    seeds.clear();
+    if (anchors.empty()) { chunk_starts.push_back(0); return; }
+    size_t n = anchors.size();
+    uint32_t last_ctg = anchors[0].qc;
+    uint64_t cep = (uint64_t)anchors[0].qp + fragment_length;
+    size_t running = 0;
+    chunk_starts.push_back(0);
+    auto consume = [&](uint64_t limit) {
+        const auto& v = qpa[last_ctg];
+        std::vector<uint32_t> blk;
+        while (running < v.size() && v[running] <= limit)
+            blk.push_back(v[running++]);
+        seeds.push_back(std::move(blk));
+    };
+    for (size_t a = 1; a < n; a++) {
+        if (anchors[a].qc != last_ctg || anchors[a].qp > cep) {
+            consume(cep);
+            chunk_starts.push_back((int64_t)a);
+            cep += fragment_length;
+            if (anchors[a].qc != last_ctg) {
+                cep = (uint64_t)anchors[a].qp + fragment_length;
+                running = 0;
+            }
+            last_ctg = anchors[a].qc;
+        }
+    }
+    // final chunk: seeds up to the last anchor's query pos
+    consume(anchors[n - 1].qp);
+    chunk_starts.push_back((int64_t)n);
+}
+
+// banded DP within one chunk (reference: src/chain.rs:838-896)
+static void chain_dp(const Anchor* a, int64_t n, int64_t band,
+                     int64_t past_chain_length, double max_gap,
+                     double anchor_score, double* dp, int64_t* ptr) {
+    for (int64_t i = 0; i < n; i++) {
+        double best = 0.0;
+        int64_t bi = i;
+        for (int64_t j = i - 1; j >= 0; j--) {
+            if (a[i].rc != a[j].rc) continue;
+            if ((int64_t)a[i].qp - (int64_t)a[j].qp > past_chain_length ||
+                i - j > band) break;
+            if (a[i].rev != a[j].rev) continue;
+            if (a[i].rp == a[j].rp || a[i].qp == a[j].qp) continue;
+            double d_q = (double)a[i].qp - (double)a[j].qp;
+            double d_r = a[i].rev ? (double)a[j].rp - (double)a[i].rp
+                                  : (double)a[i].rp - (double)a[j].rp;
+            if (d_q > 5000.0 || d_r > 5000.0) continue;
+            if (d_r <= 0.0) continue;
+            double gap = std::fabs(d_r - d_q);
+            if (gap > max_gap) continue;
+            double ns = anchor_score - gap + dp[j];
+            if (ns > best) { best = ns; bi = j; }
+        }
+        dp[i] = best;
+        ptr[i] = bi;
+    }
+}
+
+// chain extraction (reference: src/chain.rs:939-1007)
+static void extract_intervals(const Anchor* a, int64_t n, int64_t base,
+                              const double* dp, const int64_t* ptr,
+                              int64_t min_anchors, double min_score,
+                              int64_t chunk_id,
+                              std::vector<Interval>& out) {
+    // component roots (ptr[i] <= i)
+    std::vector<int64_t> root(n);
+    for (int64_t i = 0; i < n; i++)
+        root[i] = ptr[i] == i ? i : root[ptr[i]];
+    // group members; component sizes
+    std::vector<int64_t> size(n, 0);
+    for (int64_t i = 0; i < n; i++) size[root[i]]++;
+    // best member per root: max dp, smallest index on ties
+    std::vector<int64_t> best(n, -1);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t rt = root[i];
+        if (best[rt] < 0 || dp[i] > dp[best[rt]]) best[rt] = i;
+    }
+    for (int64_t rt = 0; rt < n; rt++) {
+        if (best[rt] < 0 || size[rt] < min_anchors) continue;
+        int64_t b = best[rt];
+        double max_score = dp[b];
+        int64_t num = 1, idx = b;
+        while (ptr[idx] != idx) { idx = ptr[idx]; num++; }
+        if (num < min_anchors || max_score < min_score) continue;
+        uint32_t q0 = a[idx].qp, q1 = a[b].qp;
+        uint32_t e1 = a[idx].rp, e2 = a[b].rp;
+        out.push_back({max_score, num, q0, q1,
+                       std::min(e1, e2), std::max(e1, e2),
+                       (int64_t)a[idx].rc, (int64_t)a[idx].qc,
+                       chunk_id, a[idx].rev});
+        (void)base;
+    }
+}
+
+// greedy non-overlap (reference: src/chain.rs:1008-1099)
+static void nonoverlap(std::vector<Interval>& ivs, int64_t num_chunks,
+                       std::vector<std::vector<Interval>>& good) {
+    std::sort(ivs.begin(), ivs.end(), interval_gt);
+    good.assign((size_t)num_chunks, {});
+    // per-contig accepted interval lists
+    std::vector<std::pair<int64_t, std::vector<const Interval*>>> tq, tr;
+    auto find_list = [](std::vector<std::pair<int64_t,
+                        std::vector<const Interval*>>>& t, int64_t key)
+        -> std::vector<const Interval*>& {
+        for (auto& p : t) if (p.first == key) return p.second;
+        t.push_back({key, {}});
+        return t.back().second;
+    };
+    std::vector<const Interval*> accepted;
+    accepted.reserve(ivs.size());
+    for (auto& iv : ivs) {
+        auto& lq = find_list(tq, iv.qc);
+        auto& lr = find_list(tr, iv.rc);
+        uint64_t sum_r = 0, sum_q = 0;
+        bool any_r = false, any_q = false;
+        for (auto* o : lr) {
+            if (o->r0 < iv.r1 && iv.r0 < o->r1) {
+                any_r = true;
+                sum_r += std::min(iv.r1 - o->r0, o->r1 - iv.r0);
+            }
+        }
+        for (auto* o : lq) {
+            if (o->q0 < iv.q1 && iv.q0 < o->q1) {
+                any_q = true;
+                sum_q += std::min(iv.q1 - o->q0, o->q1 - iv.q0);
+            }
+        }
+        bool ok_r = !any_r ||
+            ((float)sum_r < (float)(iv.r1 - iv.r0) * 0.50f);
+        bool ok_q = !any_q ||
+            ((float)sum_q < (float)(iv.q1 - iv.q0) * 0.50f);
+        if (ok_r && ok_q) {
+            lq.push_back(&iv);
+            lr.push_back(&iv);
+            good[iv.chunk_id].push_back(iv);
+        }
+    }
+}
+
+// per-chunk ANI statistics (reference: src/chain.rs:173-555 loop body)
+static void chunk_stats(const std::vector<std::vector<Interval>>& good,
+                        const std::vector<std::vector<uint32_t>>& seeds,
+                        int64_t k, int64_t c, bool switched, bool amino_acid,
+                        int64_t min_length_cover, PairResult& res) {
+    bool sensitive_af = c < 200;
+    for (size_t ci = 0; ci < good.size(); ci++) {
+        const auto& ivs = good[ci];
+        int64_t total_anchors = 0;
+        uint64_t tbc_query = 0;
+        int64_t trq0 = INT64_MAX, trq1 = INT64_MIN;
+        std::vector<std::pair<int64_t, int64_t>> unions;
+        for (const auto& iv : ivs) {
+            total_anchors += iv.num_anchors;
+            if ((int64_t)iv.q0 < trq0) trq0 = iv.q0;
+            if ((int64_t)iv.q1 > trq1) trq1 = iv.q1;
+            if (!switched)
+                tbc_query += (uint64_t)(iv.q1 - iv.q0) + k + 2 * c;
+            else
+                tbc_query += (uint64_t)(iv.r1 - iv.r0) + k + 2 * c;
+            int64_t s = std::max((int64_t)iv.q0 - c, (int64_t)0);
+            unions.push_back({s, (int64_t)iv.q1 + c});
+            uint64_t add = (uint64_t)(iv.q1 - iv.q0) + 2 * c + k;
+            if (sensitive_af) {
+                res.total_query_bases += add;
+                res.total_ref_range += add;
+            }
+            res.avg_chain_int_len += add;
+            res.num_chains++;
+        }
+        if (total_anchors == 0) continue;
+        if (trq1 - trq0 < min_length_cover) continue;
+        if (!sensitive_af) {
+            uint64_t add = (uint64_t)(trq1 - trq0) + 2 * c + k;
+            res.total_query_bases += add;
+            res.total_ref_range += add;
+        }
+        // merge closed intervals
+        std::sort(unions.begin(), unions.end());
+        std::vector<std::pair<int64_t, int64_t>> merged;
+        for (auto& u : unions) {
+            if (!merged.empty() && u.first <= merged.back().second)
+                merged.back().second = std::max(merged.back().second,
+                                                u.second);
+            else merged.push_back(u);
+        }
+        int64_t in_union = 0, in_range = 0;
+        const auto& sp = seeds[ci];
+        for (uint32_t p : sp) {
+            int64_t pp = p;
+            // binary search merged
+            size_t lo = 0, hi = merged.size();
+            while (lo < hi) {
+                size_t mid = (lo + hi) / 2;
+                if (merged[mid].first <= pp) lo = mid + 1; else hi = mid;
+            }
+            if (lo > 0 && pp <= merged[lo - 1].second) in_union++;
+            if (pp >= trq0 && pp <= trq1) in_range++;
+        }
+        int64_t considered = (int64_t)sp.size();
+        double putative = std::pow((double)total_anchors / (double)in_union,
+                                   1.0 / (double)k);
+        if (putative > 0.950 && tbc_query > (uint64_t)(c * 4) &&
+            !amino_acid && trq1 - trq0 < 18000 &&
+            (double)considered > 1.05 * (double)in_range) {
+            considered = in_range;
+        }
+        double ml;
+        if (amino_acid)
+            ml = std::min(1.0, (double)total_anchors / (double)considered
+                                   * 6.0);
+        else
+            ml = std::min(1.0, (double)total_anchors / (double)considered);
+        double est = std::pow(ml, 1.0 / (double)k);
+        if (amino_acid) {
+            res.ani_est.push_back(est);
+            res.weight.push_back((int64_t)sp.size() / 6);
+        } else {
+            res.ani_est.push_back(est);
+            res.weight.push_back(considered);
+        }
+    }
+}
+
+// ---------- public entry points ----------
+
+struct PairOutput {
+    double* ani_est;
+    int64_t* weight;
+    int64_t n_ests;
+    uint64_t total_query_bases;
+    uint64_t total_ref_range;
+    uint64_t avg_chain_int_len;  // already divided by num_chains
+    int64_t num_chains;
+    int64_t n_anchors;
+    // scratch ownership
+    PairResult* owner;
+};
+
+// Full per-pair pipeline from pre-switched CSR sketches.
+// dp_scores/dp_ptr: optional precomputed DP (from the TPU) over anchors in
+// sorted order; pass nullptr to compute on host.
+PairOutput* run_pair(
+    const uint32_t* q_kmers, const int64_t* q_starts, int64_t q_nk,
+    const uint32_t* q_pos, const uint32_t* q_ctg, const uint8_t* q_canon,
+    int64_t n_q_contigs,
+    const uint32_t* r_kmers, const int64_t* r_starts, int64_t r_nk,
+    const uint32_t* r_pos, const uint32_t* r_ctg, const uint8_t* r_canon,
+    int64_t band, int64_t fragment_length, int64_t past_chain_length,
+    double max_gap, double anchor_score, int64_t min_anchors,
+    double min_score, int64_t k, int64_t c, int32_t switched,
+    int32_t amino_acid, int64_t min_length_cover) {
+    SketchView q{q_kmers, q_starts, q_nk, q_pos, q_ctg, q_canon};
+    SketchView r{r_kmers, r_starts, r_nk, r_pos, r_ctg, r_canon};
+    auto* pres = new PairResult();
+    std::vector<Anchor> anchors;
+    std::vector<std::vector<uint32_t>> qpa;
+    build_anchors(q, r, band, anchors, qpa, n_q_contigs);
+    pres->n_anchors = (int64_t)anchors.size();
+    if (!anchors.empty()) {
+        std::vector<int64_t> cs;
+        std::vector<std::vector<uint32_t>> seeds;
+        chunk_anchors(anchors, qpa, fragment_length, cs, seeds);
+        int64_t n_chunks = (int64_t)cs.size() - 1;
+        std::vector<double> dp(anchors.size());
+        std::vector<int64_t> ptr(anchors.size());
+        std::vector<Interval> ivs;
+        for (int64_t t = 0; t < n_chunks; t++) {
+            int64_t s = cs[t], e = cs[t + 1];
+            chain_dp(anchors.data() + s, e - s, band, past_chain_length,
+                     max_gap, anchor_score, dp.data() + s, ptr.data() + s);
+            extract_intervals(anchors.data() + s, e - s, s, dp.data() + s,
+                              ptr.data() + s, min_anchors, min_score, t,
+                              ivs);
+        }
+        std::vector<std::vector<Interval>> good;
+        nonoverlap(ivs, n_chunks, good);
+        chunk_stats(good, seeds, k, c, switched != 0, amino_acid != 0,
+                    min_length_cover, *pres);
+    }
+    auto* out = new PairOutput();
+    out->owner = pres;
+    out->ani_est = pres->ani_est.data();
+    out->weight = pres->weight.data();
+    out->n_ests = (int64_t)pres->ani_est.size();
+    out->total_query_bases = pres->total_query_bases;
+    out->total_ref_range = pres->total_ref_range;
+    out->avg_chain_int_len =
+        pres->num_chains ? pres->avg_chain_int_len / pres->num_chains : 0;
+    out->num_chains = pres->num_chains;
+    out->n_anchors = pres->n_anchors;
+    return out;
+}
+
+void free_pair_output(PairOutput* o) {
+    if (o) { delete o->owner; delete o; }
+}
+
+}  // extern "C"

@@ -64,17 +64,12 @@ def _expand_csr(starts: np.ndarray, kmer_ids: np.ndarray,
     return base + (np.arange(total, dtype=np.int64) - excl)
 
 
-def get_anchors(ref_sketch, query_sketch,
-                map_params: MapParams) -> Tuple[AnchorChunks, bool]:
-    """reference: src/chain.rs:608-836"""
-    if len(ref_sketch.contig_lengths) == 0 or len(query_sketch.contig_lengths) == 0:
-        return AnchorChunks.empty(), True
-
+def compute_switch(ref_sketch, query_sketch) -> bool:
+    """Decide query/ref swap (reference: src/chain.rs:625-661)."""
     mean_ctg_len_q = float(query_sketch.contig_lengths.astype(np.float64).sum()
                            ) / len(query_sketch.contig_lengths)
     mean_ctg_len_r = float(ref_sketch.contig_lengths.astype(np.float64).sum()
                            ) / len(ref_sketch.contig_lengths)
-
     # marker-count proxy for genome length (reference: src/chain.rs:638-648)
     if (query_sketch.total_sequence_length > 100_000
             and ref_sketch.total_sequence_length > 100_000):
@@ -83,9 +78,17 @@ def get_anchors(ref_sketch, query_sketch,
     else:
         q_proxy = float(query_sketch.total_sequence_length)
         r_proxy = float(ref_sketch.total_sequence_length)
+    return _switch_qr(mean_ctg_len_r, mean_ctg_len_q, q_proxy, r_proxy,
+                      query_sketch.file_name, ref_sketch.file_name)
 
-    switched = _switch_qr(mean_ctg_len_r, mean_ctg_len_q, q_proxy, r_proxy,
-                          query_sketch.file_name, ref_sketch.file_name)
+
+def get_anchors(ref_sketch, query_sketch,
+                map_params: MapParams) -> Tuple[AnchorChunks, bool]:
+    """reference: src/chain.rs:608-836"""
+    if len(ref_sketch.contig_lengths) == 0 or len(query_sketch.contig_lengths) == 0:
+        return AnchorChunks.empty(), True
+
+    switched = compute_switch(ref_sketch, query_sketch)
     # After switching, "Q" is the side whose coordinates define chunks.
     q_sk = ref_sketch if switched else query_sketch
     r_sk = query_sketch if switched else ref_sketch

@@ -61,12 +61,20 @@ def _default_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
 
 
 def get_pair_executor():
-    """Returns the best available pair executor (TPU batched if usable)."""
-    try:
+    """Returns the best available pair executor.
+
+    The native per-pair path (C++ join/DP/stats) is the default: on this
+    host it outperforms shipping per-pair DP inputs over the accelerator
+    link.  The device-batched executor (kernels.pipeline) is selected via
+    SKANI_TPU_EXECUTOR=tpu for large batched workloads / multi-chip runs.
+    """
+    choice = os.environ.get("SKANI_TPU_EXECUTOR", "auto")
+    if choice == "tpu":
         from .kernels.pipeline import tpu_pair_executor
         return tpu_pair_executor
-    except Exception:  # pragma: no cover - fallback when jax unavailable
+    if choice == "numpy":
         return _default_pair_executor
+    return _default_pair_executor
 
 
 def dist(command_params: CommandParams, sketch_params: SketchParams,

@@ -1,0 +1,143 @@
+"""ctypes bindings for the native core (native/skani_core.cpp).
+
+Builds on first use (g++ -O3) into skani_tpu/_native/; falls back cleanly if
+the toolchain is unavailable (`available()` -> False and the NumPy reference
+path is used).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "..", "native", "skani_core.cpp")
+_OUT_DIR = os.path.join(_HERE, "_native")
+_SO = os.path.join(_OUT_DIR, "libskani_core.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+class _PairOutput(ctypes.Structure):
+    _fields_ = [
+        ("ani_est", ctypes.POINTER(ctypes.c_double)),
+        ("weight", ctypes.POINTER(ctypes.c_int64)),
+        ("n_ests", ctypes.c_int64),
+        ("total_query_bases", ctypes.c_uint64),
+        ("total_ref_range", ctypes.c_uint64),
+        ("avg_chain_int_len", ctypes.c_uint64),
+        ("num_chains", ctypes.c_int64),
+        ("n_anchors", ctypes.c_int64),
+        ("owner", ctypes.c_void_p),
+    ]
+
+
+def _build() -> Optional[str]:
+    os.makedirs(_OUT_DIR, exist_ok=True)
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    if (os.path.exists(_SO)
+            and os.path.getmtime(_SO) >= os.path.getmtime(src)):
+        return _SO
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           src, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return _SO
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.fmh_seeds.restype = ctypes.c_int64
+    lib.fmh_seeds.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        u32p, u32p, u8p, u64p, ctypes.POINTER(ctypes.c_int64)]
+    lib.run_pair.restype = ctypes.POINTER(_PairOutput)
+    lib.run_pair.argtypes = [
+        u32p, i64p, ctypes.c_int64, u32p, u32p, u8p, ctypes.c_int64,
+        u32p, i64p, ctypes.c_int64, u32p, u32p, u8p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64]
+    lib.free_pair_output.argtypes = [ctypes.POINTER(_PairOutput)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def fmh_seeds_native(seq: np.ndarray, params):
+    """Native sketcher — exact same outputs as sketch.fmh_seeds_np."""
+    lib = get_lib()
+    seq = np.ascontiguousarray(seq, dtype=np.uint8)
+    n = len(seq)
+    kmer = np.empty(n, dtype=np.uint32)
+    pos = np.empty(n, dtype=np.uint32)
+    canon = np.empty(n, dtype=np.uint8)
+    marker = np.empty(n, dtype=np.uint64)
+    nm = ctypes.c_int64(0)
+    cnt = lib.fmh_seeds(seq, n, params.c, params.k, params.marker_c,
+                        kmer, pos, canon, marker, ctypes.byref(nm))
+    return (kmer[:cnt].copy(), pos[:cnt].copy(),
+            canon[:cnt].astype(bool), marker[:nm.value].copy())
+
+
+def run_pair_native(q_sk, r_sk, map_params, switched: bool, c: int):
+    """Full per-pair pipeline on pre-switched sketches.
+
+    Returns (ani_est f64[], weight i64[], total_query_bases, total_ref_range,
+    avg_chain_int_len, num_chains, n_anchors).
+    """
+    lib = get_lib()
+    pcl = min(map_params.fragment_length // 2, map_params.bp_chain_band)
+    out = lib.run_pair(
+        np.ascontiguousarray(q_sk.seed_kmers, np.uint32),
+        np.ascontiguousarray(q_sk.seed_starts, np.int64),
+        len(q_sk.seed_kmers),
+        np.ascontiguousarray(q_sk.seed_pos, np.uint32),
+        np.ascontiguousarray(q_sk.seed_contig, np.uint32),
+        np.ascontiguousarray(q_sk.seed_canon, np.uint8),
+        len(q_sk.contigs),
+        np.ascontiguousarray(r_sk.seed_kmers, np.uint32),
+        np.ascontiguousarray(r_sk.seed_starts, np.int64),
+        len(r_sk.seed_kmers),
+        np.ascontiguousarray(r_sk.seed_pos, np.uint32),
+        np.ascontiguousarray(r_sk.seed_contig, np.uint32),
+        np.ascontiguousarray(r_sk.seed_canon, np.uint8),
+        map_params.index_chain_band, map_params.fragment_length, pcl,
+        map_params.max_gap_length, map_params.anchor_score,
+        map_params.min_anchors, map_params.min_score, map_params.k,
+        c, 1 if switched else 0,
+        1 if map_params.amino_acid else 0, map_params.min_length_cover)
+    o = out.contents
+    n = o.n_ests
+    ani_est = np.ctypeslib.as_array(o.ani_est, shape=(n,)).copy() \
+        if n else np.zeros(0)
+    weight = np.ctypeslib.as_array(o.weight, shape=(n,)).copy() \
+        if n else np.zeros(0, dtype=np.int64)
+    ret = (ani_est, weight, int(o.total_query_bases),
+           int(o.total_ref_range), int(o.avg_chain_int_len),
+           int(o.num_chains), int(o.n_anchors))
+    lib.free_pair_output(out)
+    return ret

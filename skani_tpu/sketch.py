@@ -179,14 +179,26 @@ def _finalize_sketch(sk: Sketch, kmers_parts, pos_parts, canon_parts,
         sk.marker_seeds = np.unique(np.concatenate(marker_parts))
 
 
+def default_seeder():
+    """Fastest available bit-exact seeding kernel (native C++ if built,
+    else the NumPy reference)."""
+    try:
+        from . import native
+        if native.available():
+            return native.fmh_seeds_native
+    except Exception:
+        pass
+    return fmh_seeds_np
+
+
 def sketch_file(path: str, params: SketchParams, seed: bool = True,
                 seeder=None) -> Optional[Sketch]:
     """Sketch one fasta/fastq file into a single Sketch
     (reference: src/file_io.rs:141-252).  Returns None for invalid/empty
     files (caller warns+skips).  `seeder` overrides the per-contig kernel
-    (e.g. the TPU kernel); defaults to the NumPy reference kernel.
+    (e.g. the TPU kernel); defaults to the fastest bit-exact kernel.
     """
-    seeder = seeder or fmh_seeds_np
+    seeder = seeder or default_seeder()
     sk = Sketch(file_name=path, marker_c=params.c, c=params.c, k=params.k,
                 amino_acid=params.use_aa)
     kmers_parts, pos_parts, canon_parts, contig_parts, marker_parts = \
@@ -223,7 +235,7 @@ def sketch_file_individual(path: str, params: SketchParams, seed: bool = True,
                            seeder=None) -> List[Sketch]:
     """One Sketch per contig (-i/--qi/--ri mode)
     (reference: src/file_io.rs:253-362)."""
-    seeder = seeder or fmh_seeds_np
+    seeder = seeder or default_seeder()
     out = []
     j = 0
     try:
