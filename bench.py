@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""skani-tpu benchmark: genome-pairs/s on an all-to-all dist workload.
+
+Workload: N synthetic E. coli-derived genomes (point-mutated at 0.3-2% from
+test_files/e.coli-W.fasta.gz, fixed seed), sketched at default c=125/k=15,
+then all ordered cross pairs scored through the engine's best path.
+
+Baseline: the single-thread reference-equivalent path — our native C++
+per-pair pipeline, which implements the reference algorithm exactly
+(skani v0.3 is a single-binary Rust CLI; its published throughput claims are
+qualitative, and no Rust toolchain exists in this image, so the native path
+serves as the measured single-thread skani-equivalent).  vs_baseline is
+best-path throughput over that single-thread baseline.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from skani_tpu import (CommandParams, SketchParams, map_params_from_sketch)
+from skani_tpu.sketch import Sketch, default_seeder, _finalize_sketch
+from skani_tpu import fastx
+
+SOURCE = "/root/reference/test_files/e.coli-W.fasta.gz"
+N_GENOMES = int(os.environ.get("BENCH_GENOMES", "14"))
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def make_genomes(n):
+    _name, seq = next(iter(fastx.iter_fastx(SOURCE)))
+    rng = np.random.default_rng(7)
+    genomes = []
+    for i in range(n):
+        rate = 0.003 + 0.017 * (i / max(n - 1, 1))
+        s = seq.copy()
+        nmut = int(len(s) * rate)
+        posn = rng.choice(len(s), size=nmut, replace=False)
+        s[posn] = BASES[rng.integers(0, 4, size=nmut)]
+        genomes.append((f"mut_{i}", s))
+    return genomes
+
+
+def sketch_genomes(genomes):
+    params = SketchParams()
+    seeder = default_seeder()
+    out = []
+    for name, seq in genomes:
+        sk = Sketch(file_name=name, marker_c=params.c, c=params.c,
+                    k=params.k)
+        sk.contigs = [name]
+        sk.contig_lengths = np.array([len(seq)], dtype=np.uint32)
+        sk.total_sequence_length = len(seq)
+        km, po, ca, ma = seeder(seq, params)
+        _finalize_sketch(sk, [km], [po], [ca],
+                         [np.zeros(len(km), dtype=np.uint32)], [ma])
+        out.append(sk)
+    return out, params
+
+
+def run_pairs_native(sketches, params, pairs):
+    from skani_tpu.ani import chain_seeds_native
+    cp = CommandParams()
+    res = []
+    for i, j in pairs:
+        mp = map_params_from_sketch(sketches[i], False, cp, None)
+        res.append(chain_seeds_native(sketches[i], sketches[j], mp))
+    return res
+
+
+def run_pairs_best(sketches, params, pairs):
+    """Best available path (device pipeline when beneficial)."""
+    try:
+        from skani_tpu.kernels.device_pipeline import DevicePairEngine
+        eng = DevicePairEngine(sketches, params, CommandParams())
+        return eng.run_pairs(pairs)
+    except Exception:
+        return run_pairs_native(sketches, params, pairs)
+
+
+def main():
+    t0 = time.time()
+    genomes = make_genomes(N_GENOMES)
+    sketches, params = sketch_genomes(genomes)
+    pairs = [(i, j) for i in range(N_GENOMES) for j in range(N_GENOMES)
+             if i != j]
+    prep_s = time.time() - t0
+
+    # warm (JIT compile etc.) on a small subset, excluded from timing
+    _ = run_pairs_best(sketches, params, pairs[:4])
+
+    t0 = time.time()
+    res_best = run_pairs_best(sketches, params, pairs)
+    best_s = time.time() - t0
+    best_rate = len(pairs) / best_s
+
+    t0 = time.time()
+    res_base = run_pairs_native(sketches, params, pairs)
+    base_s = time.time() - t0
+    base_rate = len(pairs) / base_s
+
+    # sanity: results must agree between paths
+    mism = sum(1 for a, b in zip(res_best, res_base)
+               if not (np.isnan(a.ani) and np.isnan(b.ani)) and a.ani != b.ani)
+
+    sys.stderr.write(
+        f"# {len(pairs)} pairs of {N_GENOMES} E.coli-scale genomes; "
+        f"prep {prep_s:.1f}s; best {best_s:.2f}s ({best_rate:.1f}/s); "
+        f"single-thread-reference {base_s:.2f}s ({base_rate:.1f}/s); "
+        f"mismatches {mism}\n")
+    print(json.dumps({
+        "metric": "genome-pairs/s (dist all-to-all, E.coli-scale)",
+        "value": round(best_rate, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(best_rate / base_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
