@@ -415,6 +415,162 @@ static void chunk_stats(const std::vector<std::vector<Interval>>& good,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Device-pipeline post-processing: greedy overlap resolution + per-chunk
+// aggregation over intervals computed on the TPU, emitting seed-rank queries
+// to be answered by the device (phase B).  Mirrors
+// get_nonoverlapping_chains + the calculate_ani chunk loop
+// (reference: src/chain.rs:1008-1099, 173-413).
+// ---------------------------------------------------------------------------
+
+struct ChunkRecord {
+    int64_t chunk_idx;
+    int64_t total_anchors;
+    uint64_t tbc_query;
+    int64_t trq0, trq1;
+    int64_t ctg, lo, hi;
+    int64_t union_off, n_union;  // into union query pairs
+};
+
+struct IvOutput {
+    std::vector<ChunkRecord> recs;
+    std::vector<int32_t> q_ctg;   // rank queries (ctg, v)
+    std::vector<int32_t> q_val;
+    uint64_t total_query_bases = 0;
+    uint64_t total_ref_range = 0;
+    uint64_t avg_chain_sum = 0;
+    int64_t num_chains = 0;
+};
+
+struct IvOutputView {
+    const int64_t* rec_data;      // flattened ChunkRecord as 10x int64
+    int64_t n_recs;
+    const int32_t* q_ctg;
+    const int32_t* q_val;
+    int64_t n_queries;
+    uint64_t total_query_bases;
+    uint64_t total_ref_range;
+    uint64_t avg_chain_sum;
+    int64_t num_chains;
+    IvOutput* owner;
+    std::vector<int64_t>* flat;
+};
+
+IvOutputView* process_intervals(
+    const double* score, const int64_t* num, const uint32_t* q0,
+    const uint32_t* q1, const uint32_t* r0, const uint32_t* r1,
+    const int64_t* rcg, const int64_t* qcg, const int64_t* cid,
+    const uint8_t* rev, int64_t n_iv,
+    const int64_t* chunk_hi, const int64_t* chunk_ctg,
+    const uint8_t* chunk_new_ctg, int64_t n_chunks,
+    int64_t k, int64_t c, int32_t switched, int32_t amino_acid,
+    int64_t min_length_cover) {
+    std::vector<Interval> ivs;
+    ivs.reserve(n_iv);
+    for (int64_t i = 0; i < n_iv; i++) {
+        ivs.push_back({score[i], num[i], q0[i], q1[i], r0[i], r1[i],
+                       rcg[i], qcg[i], cid[i], rev[i]});
+    }
+    std::vector<std::vector<Interval>> good;
+    nonoverlap(ivs, n_chunks, good);
+
+    auto* out = new IvOutput();
+    bool sensitive_af = c < 200;
+    for (int64_t t = 0; t < n_chunks; t++) {
+        const auto& g = good[t];
+        int64_t total_anchors = 0;
+        uint64_t tbc_query = 0;
+        int64_t trq0 = INT64_MAX, trq1 = INT64_MIN;
+        std::vector<std::pair<int64_t, int64_t>> unions;
+        for (const auto& iv : g) {
+            total_anchors += iv.num_anchors;
+            if ((int64_t)iv.q0 < trq0) trq0 = iv.q0;
+            if ((int64_t)iv.q1 > trq1) trq1 = iv.q1;
+            if (!switched)
+                tbc_query += (uint64_t)(iv.q1 - iv.q0) + k + 2 * c;
+            else
+                tbc_query += (uint64_t)(iv.r1 - iv.r0) + k + 2 * c;
+            unions.push_back({std::max((int64_t)iv.q0 - c, (int64_t)0),
+                              (int64_t)iv.q1 + c});
+            uint64_t add = (uint64_t)(iv.q1 - iv.q0) + 2 * c + k;
+            if (sensitive_af) {
+                out->total_query_bases += add;
+                out->total_ref_range += add;
+            }
+            out->avg_chain_sum += add;
+            out->num_chains++;
+        }
+        if (total_anchors == 0) continue;
+        if (trq1 - trq0 < min_length_cover) continue;
+        if (!sensitive_af) {
+            uint64_t add = (uint64_t)(trq1 - trq0) + 2 * c + k;
+            out->total_query_bases += add;
+            out->total_ref_range += add;
+        }
+        std::sort(unions.begin(), unions.end());
+        std::vector<std::pair<int64_t, int64_t>> merged;
+        for (auto& u : unions) {
+            if (!merged.empty() && u.first <= merged.back().second)
+                merged.back().second = std::max(merged.back().second,
+                                                u.second);
+            else merged.push_back(u);
+        }
+        int64_t lo = -1;
+        if (t > 0 && !chunk_new_ctg[t]) lo = chunk_hi[t - 1];
+        int64_t hi = chunk_hi[t];
+        int64_t ctg = chunk_ctg[t];
+        ChunkRecord rec{t, total_anchors, tbc_query, trq0, trq1, ctg, lo,
+                        hi, (int64_t)out->q_ctg.size() / 1, 0};
+        // query order: lo, hi, max(trq0-1, lo), min(trq1, hi), then unions
+        auto push_q = [&](int64_t v) {
+            out->q_ctg.push_back((int32_t)ctg);
+            out->q_val.push_back((int32_t)v);
+        };
+        rec.union_off = (int64_t)out->q_ctg.size();
+        push_q(lo);
+        push_q(hi);
+        push_q(std::max(trq0 - 1, lo));
+        push_q(std::min(trq1, hi));
+        for (auto& m : merged) {
+            push_q(std::max(m.first - 1, lo));
+            push_q(std::min(m.second, hi));
+        }
+        rec.n_union = (int64_t)merged.size();
+        out->recs.push_back(rec);
+    }
+    auto* view = new IvOutputView();
+    view->owner = out;
+    auto* flat = new std::vector<int64_t>();
+    flat->reserve(out->recs.size() * 10);
+    for (auto& r : out->recs) {
+        flat->push_back(r.chunk_idx);
+        flat->push_back(r.total_anchors);
+        flat->push_back((int64_t)r.tbc_query);
+        flat->push_back(r.trq0);
+        flat->push_back(r.trq1);
+        flat->push_back(r.ctg);
+        flat->push_back(r.lo);
+        flat->push_back(r.hi);
+        flat->push_back(r.union_off);
+        flat->push_back(r.n_union);
+    }
+    view->flat = flat;
+    view->rec_data = flat->data();
+    view->n_recs = (int64_t)out->recs.size();
+    view->q_ctg = out->q_ctg.data();
+    view->q_val = out->q_val.data();
+    view->n_queries = (int64_t)out->q_ctg.size();
+    view->total_query_bases = out->total_query_bases;
+    view->total_ref_range = out->total_ref_range;
+    view->avg_chain_sum = out->avg_chain_sum;
+    view->num_chains = out->num_chains;
+    return view;
+}
+
+void free_iv_output(IvOutputView* v) {
+    if (v) { delete v->owner; delete v->flat; delete v; }
+}
+
 // ---------- public entry points ----------
 
 struct PairOutput {

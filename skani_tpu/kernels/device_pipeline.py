@@ -1,0 +1,560 @@
+"""Device-resident pair engine (V2): join -> chunk -> DP -> chains on device.
+
+The per-pair hot path of the reference (reference: src/chain.rs:144-171)
+executed entirely on the TPU for a BATCH of genome pairs against the
+device-resident DeviceDb:
+
+  phase A (one jit):
+    * sorted-merge seed join (vmapped searchsorted) with the reference's
+      repeat band caps;
+    * capped cross-product anchor expansion into a fixed-size buffer;
+    * multi-key anchor sort (lax.sort, 5 keys);
+    * fragment chunking in CLOSED FORM: the reference's sequential
+      cep-advance scan (reference: src/chain.rs:738-826) reduces, per contig
+      segment, to m_t = min(q_t, t+1, t + prefmin_s(q_s - s)) where
+      q_t = max(0, (qp_t - qp_first - 1) // fragment_length) — q_t is
+      nondecreasing because anchors are sorted, so the cascade counter is a
+      segmented prefix-min (log-depth associative_scan), no sequential scan;
+    * banded chaining DP as a lax.scan over anchors REGROUPED to
+      rows-per-chunk — the dependency chain is per chunk, so the scan length
+      is the chunk cap, not the total anchor count;
+    * chain extraction via pointer doubling + scatter reductions;
+    * ALL outputs packed into one int32 tensor (one host roundtrip).
+  host: greedy overlap resolution + per-chunk aggregation (native C++),
+    which emits seed-rank queries.
+  phase B (one jit): batched lexicographic rank queries against the
+    device-side per-pair seed-position table.
+
+Only sketches (once per genome) and tiny per-pair results cross the host
+link — the design premise for both the slow-link single chip and the
+multi-host sharded DB (see __graft_entry__.dryrun_multichip).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: phase A is a large graph (~minutes to
+# compile over the remote-compile link); cache it across processes.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("SKANI_TPU_JAX_CACHE",
+                                 os.path.expanduser("~/.cache/skani_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ..params import D_MAX_LIN_LENGTH, MapParams
+from .device_db import CTG_SENTINEL, DeviceDb
+
+I32MAX = np.int32(2 ** 31 - 1)
+BIG = jnp.int32(1 << 30)
+
+
+def _seg_propagate(values, flags, init):
+    """Per row: out[t] = values at the latest index s<=t with flags[s]."""
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+    out, _ = jax.lax.associative_scan(
+        op, (jnp.where(flags, values, init), flags), axis=1)
+    return out
+
+
+def _seg_cummin(values, seg_start):
+    """Segmented prefix-min along axis 1 (reset at seg_start)."""
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+    out, _ = jax.lax.associative_scan(op, (values, seg_start), axis=1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# phase A
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
+                     "max_gap", "anchor_score", "min_anchors", "min_score"))
+def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
+            db_pos_kid,
+            a_idx, b_idx,
+            A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
+            pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
+            min_score: float):
+    R = a_idx.shape[0]
+    K = db_kmers.shape[1]
+    P = db_pos.shape[1]
+
+    ak = db_kmers[a_idx]          # (R, K)
+    bk = db_kmers[b_idx]
+    a_cnt = db_counts[a_idx]
+    b_cnt = db_counts[b_idx]
+    a_start = db_starts[a_idx]
+    b_start = db_starts[b_idx]
+
+    # --- join (reference: src/chain.rs:666-712) ---
+    idx = jax.vmap(jnp.searchsorted)(bk, ak)
+    idx = jnp.minimum(idx, K - 1)
+    a_valid = ak != jnp.uint32(0xFFFFFFFF)
+    hit = (jnp.take_along_axis(bk, idx, axis=1) == ak) & a_valid
+    b_cnt_hit = jnp.where(hit, jnp.take_along_axis(b_cnt, idx, axis=1), 0)
+    b_start_hit = jnp.where(hit, jnp.take_along_axis(b_start, idx, axis=1), 0)
+    a_ok = (a_cnt <= band) & a_valid
+    pair_ok = hit & a_ok & (b_cnt_hit <= band)
+
+    # query-position table mask
+    qpa_kmer_ok = a_ok & ~(hit & (b_cnt_hit > band))
+    pos_kid_a = db_pos_kid[a_idx]
+    qpa_keep = jnp.take_along_axis(qpa_kmer_ok, pos_kid_a, axis=1)
+    pos_a = db_pos[a_idx]
+    ctg_a = db_ctg[a_idx]
+    canon_a = db_canon[a_idx]
+    qpa_keep &= ctg_a != CTG_SENTINEL
+
+    qpa_ctg_s, qpa_pos_s = jax.lax.sort(
+        (jnp.where(qpa_keep, ctg_a, I32MAX),
+         jnp.where(qpa_keep, pos_a, I32MAX)),
+        dimension=1, num_keys=2)
+
+    # --- anchor expansion ---
+    pair_counts = jnp.where(pair_ok, a_cnt * b_cnt_hit, 0)
+    offs = jnp.cumsum(pair_counts, axis=1) - pair_counts
+    total = offs[:, -1] + pair_counts[:, -1]
+    slots = jnp.arange(A, dtype=jnp.int32)[None, :]
+    inc = offs + pair_counts
+    g = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="right"))(
+        inc, jnp.broadcast_to(slots, (R, A)))
+    g = jnp.minimum(g, K - 1)
+    anchor_valid = slots < jnp.minimum(total, A)[:, None]
+    rank = slots - jnp.take_along_axis(offs, g, axis=1)
+    bc = jnp.maximum(jnp.take_along_axis(b_cnt_hit, g, axis=1), 1)
+    arow = jnp.clip(jnp.take_along_axis(a_start, g, axis=1) + rank // bc,
+                    0, P - 1)
+    brow = jnp.clip(jnp.take_along_axis(b_start_hit, g, axis=1)
+                    + rank % bc, 0, P - 1)
+
+    pos_b = db_pos[b_idx]
+    ctg_b = db_ctg[b_idx]
+    canon_b = db_canon[b_idx]
+    qp = jnp.where(anchor_valid, jnp.take_along_axis(pos_a, arow, axis=1),
+                   I32MAX)
+    qc = jnp.where(anchor_valid, jnp.take_along_axis(ctg_a, arow, axis=1),
+                   I32MAX)
+    rp = jnp.where(anchor_valid, jnp.take_along_axis(pos_b, brow, axis=1),
+                   I32MAX)
+    rc = jnp.where(anchor_valid, jnp.take_along_axis(ctg_b, brow, axis=1),
+                   I32MAX)
+    rev = (jnp.take_along_axis(canon_a, arow, axis=1)
+           != jnp.take_along_axis(canon_b, brow, axis=1)) & anchor_valid
+
+    # --- anchor sort (reference: src/types.rs:499-506 Ord) ---
+    qc, qp, rc, rp, rev_s, anchor_valid = jax.lax.sort(
+        (qc, qp, rc, rp, rev.astype(jnp.int32), anchor_valid),
+        dimension=1, num_keys=5)
+    rev = rev_s.astype(bool)
+
+    # --- closed-form fragment chunking (see module docstring) ---
+    cols = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (R, A))
+    prev_qc = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32),
+                               qc[:, :-1]], axis=1)
+    seg_start = anchor_valid & (qc != prev_qc)
+    qp_first = _seg_propagate(qp, seg_start, jnp.int32(0))
+    seg_idx0 = _seg_propagate(cols, seg_start, jnp.int32(0))
+    t_in_seg = cols - seg_idx0
+    u = qp - qp_first
+    q_units = jnp.maximum(0, (u - 1) // fl).astype(jnp.int32)
+    pm = _seg_cummin(q_units - t_in_seg, seg_start)
+    m = jnp.minimum(jnp.minimum(q_units, t_in_seg + 1), t_in_seg + pm)
+    prev_m = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), m[:, :-1]],
+                             axis=1)
+    chunk_start = seg_start | (anchor_valid & ~seg_start & (m != prev_m))
+    cid = jnp.cumsum(chunk_start.astype(jnp.int32), axis=1) - 1
+    cid = jnp.where(anchor_valid, cid, -1)
+    n_chunks = jnp.max(cid, axis=1) + 1
+
+    rowi = jnp.arange(R)[:, None]
+    # per-chunk metadata (scatter at chunk-start anchors; OOB -> drop)
+    cs_idx = jnp.where(chunk_start & (cid < C_CAP), cid, C_CAP)
+    chunk_ctg = jnp.full((R, C_CAP + 1), -1, jnp.int32
+                         ).at[rowi, cs_idx].max(qc)[:, :C_CAP]
+    chunk_new_ctg = jnp.zeros((R, C_CAP + 1), bool
+                              ).at[rowi, cs_idx].max(seg_start)[:, :C_CAP]
+    # hi = qp_first + (m+1)*fl, except the globally last chunk: last qp
+    chunk_hi = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[rowi, cs_idx].max(
+        qp_first + (m + 1) * fl)[:, :C_CAP]
+    last_qp = jnp.max(jnp.where(anchor_valid, qp, -1), axis=1)
+    last_cid = n_chunks - 1
+    chunk_hi = chunk_hi.at[jnp.arange(R),
+                           jnp.clip(last_cid, 0, C_CAP - 1)].set(
+        jnp.where(last_cid >= 0, last_qp, -1))
+
+    # --- regroup anchors to rows-per-chunk for the DP ---
+    chunk_first = jnp.full((R, C_CAP + 1), BIG, jnp.int32).at[
+        rowi, jnp.where(anchor_valid & (cid < C_CAP) & (cid >= 0),
+                        cid, C_CAP)].min(cols)[:, :C_CAP]
+    col_in_chunk = cols - jnp.take_along_axis(
+        chunk_first, jnp.clip(cid, 0, C_CAP - 1), axis=1)
+    ok_place = anchor_valid & (cid >= 0) & (cid < C_CAP) \
+        & (col_in_chunk < L_CAP)
+    overflow = (total > A) | (n_chunks > C_CAP) \
+        | jnp.any(anchor_valid & ~ok_place, axis=1)
+    RC = R * C_CAP
+    flat_row = (rowi * C_CAP + jnp.clip(cid, 0, C_CAP - 1)).reshape(-1)
+    flat_col = jnp.clip(col_in_chunk, 0, L_CAP - 1).reshape(-1)
+    keep = ok_place.reshape(-1)
+    flat_row = jnp.where(keep, flat_row, RC)
+
+    def scatter(vals, fill):
+        buf = jnp.full((RC + 1, L_CAP), fill, vals.dtype)
+        return buf.at[flat_row, flat_col].set(vals.reshape(-1),
+                                              mode="drop")[:RC]
+
+    gqp = scatter(qp, I32MAX)
+    grp = scatter(rp, I32MAX)
+    grc = scatter(rc, I32MAX)
+    grev = scatter(rev, False)
+    gval = scatter(ok_place, False)
+
+    # --- banded chaining DP (reference: src/chain.rs:838-896) ---
+    neg = jnp.float32(-3.0e38)
+    U = 8
+    assert L_CAP % U == 0
+
+    def dp_one(carry, x):
+        dp_w, qp_w, rp_w, rc_w, rev_w, val_w, i = carry
+        qp_i, rp_i, rc_i, rev_i, val_i = x
+        d_q = (qp_i[:, None] - qp_w).astype(jnp.float32)
+        d_r_f = (rp_i[:, None] - rp_w).astype(jnp.float32)
+        d_r = jnp.where(rev_i[:, None], -d_r_f, d_r_f)
+        gap = jnp.abs(d_r - d_q)
+        ok = rc_i[:, None] == rc_w
+        ok &= d_q <= pcl
+        ok &= rev_i[:, None] == rev_w
+        ok &= (rp_i[:, None] != rp_w) & (d_q != 0)
+        ok &= (d_q <= D_MAX_LIN_LENGTH) & (d_r <= D_MAX_LIN_LENGTH)
+        ok &= d_r > 0
+        ok &= gap <= max_gap
+        ok &= val_w & val_i[:, None]
+        ok &= (i - 1 - jnp.arange(band) >= 0)[None, :]
+        cand = jnp.where(ok, anchor_score - gap + dp_w, neg)
+        best_w = jnp.argmax(cand, axis=1)
+        best_val = jnp.take_along_axis(cand, best_w[:, None], axis=1)[:, 0]
+        take = best_val > 0.0
+        dp_i = jnp.where(take, best_val, 0.0).astype(jnp.float32)
+        ptr_i = jnp.where(take, i - 1 - best_w, i).astype(jnp.int32)
+
+        def shift(w, new):
+            return jnp.concatenate([new[:, None], w[:, :-1]], axis=1)
+
+        carry = (shift(dp_w, dp_i), shift(qp_w, qp_i), shift(rp_w, rp_i),
+                 shift(rc_w, rc_i), shift(rev_w, rev_i),
+                 shift(val_w, val_i), i + 1)
+        return carry, (dp_i, ptr_i)
+
+    def dp_step(carry, xs):
+        outs = []
+        for uu in range(U):
+            carry, o = dp_one(carry, tuple(x[uu] for x in xs))
+            outs.append(o)
+        return carry, (jnp.stack([o[0] for o in outs]),
+                       jnp.stack([o[1] for o in outs]))
+
+    dinit = (jnp.zeros((RC, band), jnp.float32),
+             jnp.zeros((RC, band), jnp.int32),
+             jnp.zeros((RC, band), jnp.int32),
+             jnp.full((RC, band), -2, jnp.int32),
+             jnp.zeros((RC, band), bool),
+             jnp.zeros((RC, band), bool),
+             jnp.int32(0))
+    dxs_u = tuple(x.T.reshape(L_CAP // U, U, RC)
+                  for x in (gqp, grp, grc, grev, gval))
+    _, (dp_T, ptr_T) = jax.lax.scan(dp_step, dinit, dxs_u)
+    dp = dp_T.reshape(L_CAP, RC).T
+    ptr = ptr_T.reshape(L_CAP, RC).T
+
+    # --- chain extraction (reference: src/chain.rs:939-1007) ---
+    root = ptr
+    log_l = int(np.ceil(np.log2(max(L_CAP, 2))))
+    for _ in range(log_l):
+        root = jnp.take_along_axis(root, root, axis=1)
+    lcols = jnp.broadcast_to(jnp.arange(L_CAP, dtype=jnp.int32)[None, :],
+                             (RC, L_CAP))
+    depth = (ptr != lcols).astype(jnp.int32)
+    jump = ptr
+    for _ in range(log_l):
+        depth = depth + jnp.take_along_axis(depth, jump, axis=1)
+        jump = jnp.take_along_axis(jump, jump, axis=1)
+    rci = jnp.arange(RC)[:, None]
+    size = jnp.zeros((RC, L_CAP), jnp.int32).at[rci, root].add(
+        gval.astype(jnp.int32))
+    root_best = jnp.full((RC, L_CAP), neg, jnp.float32).at[rci, root].max(
+        jnp.where(gval, dp, neg))
+    is_best = gval & (dp == jnp.take_along_axis(root_best, root, axis=1))
+    best_idx = jnp.full((RC, L_CAP), L_CAP, jnp.int32).at[rci, root].min(
+        jnp.where(is_best, lcols, L_CAP))
+    is_root = (ptr == lcols) & gval
+    bidx = jnp.clip(best_idx, 0, L_CAP - 1)
+    num_anchors = jnp.take_along_axis(depth, bidx, axis=1) + 1
+    good = (is_root & (size >= min_anchors) & (num_anchors >= min_anchors)
+            & (root_best >= min_score))
+
+    iq0 = gqp
+    iq1 = jnp.take_along_axis(gqp, bidx, axis=1)
+    e2 = jnp.take_along_axis(grp, bidx, axis=1)
+    ir0 = jnp.minimum(grp, e2)
+    ir1 = jnp.maximum(grp, e2)
+    icid = jnp.broadcast_to(
+        (jnp.arange(RC, dtype=jnp.int32) % C_CAP)[:, None], (RC, L_CAP))
+
+    # --- compact intervals per PAIR and pack everything into one i32 ---
+    def per_pair(x):
+        return x.reshape(R, C_CAP * L_CAP)
+
+    pgood = per_pair(good)
+    order = jnp.argsort(~pgood, axis=1, stable=True)[:, :I_CAP]
+    tk = lambda x: jnp.take_along_axis(per_pair(x), order, axis=1)
+    iv_block = jnp.concatenate([
+        tk(pgood).astype(jnp.int32),
+        tk(root_best.astype(jnp.int32)),
+        tk(num_anchors),
+        tk(iq0), tk(iq1), tk(ir0), tk(ir1),
+        tk(grc),
+        tk(icid),
+        tk(grev.astype(jnp.int32)),
+    ], axis=1)
+    scalars = jnp.stack([n_chunks,
+                         jnp.minimum(total, I32MAX).astype(jnp.int32),
+                         overflow.astype(jnp.int32)], axis=1)
+    packed = jnp.concatenate([
+        iv_block,
+        chunk_hi, chunk_ctg, chunk_new_ctg.astype(jnp.int32),
+        scalars,
+    ], axis=1)
+    return packed, (qpa_ctg_s, qpa_pos_s)
+
+
+# ---------------------------------------------------------------------------
+# phase B: batched lexicographic rank queries
+# rank(row, g, v) = #{p in qpa_row : (ctg_p, pos_p) <= (g, v)}
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _rank_queries(qpa_ctg_s, qpa_pos_s, qg, qv):
+    R, P = qpa_ctg_s.shape
+    Q = qg.shape[1]
+    lo = jnp.zeros((R, Q), jnp.int32)
+    hi = jnp.full((R, Q), P, jnp.int32)
+    steps = int(np.ceil(np.log2(max(P, 2)))) + 1
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        midc = jnp.clip(mid, 0, P - 1)
+        c = jnp.take_along_axis(qpa_ctg_s, midc, axis=1)
+        p = jnp.take_along_axis(qpa_pos_s, midc, axis=1)
+        le = (c < qg) | ((c == qg) & (p <= qv))
+        le &= mid < P
+        lo = jnp.where(le, mid + 1, lo)
+        hi = jnp.where(le, hi, mid)
+    return lo
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class DevicePairEngine:
+    """Batched pair scoring against a device-resident DeviceDb."""
+
+    N_IV_FIELDS = 10  # valid, score, num, q0, q1, r0, r1, rc, cid, rev
+
+    def __init__(self, sketches: Sequence, sketch_params, command_params,
+                 model=None, batch: int = 16,
+                 i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768):
+        self.sketches = list(sketches)
+        self.db = DeviceDb(self.sketches)
+        self.sketch_params = sketch_params
+        self.command_params = command_params
+        self.model = model
+        self.R = batch
+        a = int(1.5 * self.db.max_n_pos)
+        self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 17)
+        self.I_CAP = i_cap
+        self.C_CAP = c_cap
+        self.L_CAP = l_cap
+
+    def _unpack(self, packed: np.ndarray):
+        """Split the packed i32 output into fields."""
+        I, C = self.I_CAP, self.C_CAP
+        o = 0
+        iv = {}
+        for name in ("valid", "score", "num", "q0", "q1", "r0", "r1",
+                     "rc", "cid", "rev"):
+            iv[name] = packed[:, o:o + I]
+            o += I
+        chunk_hi = packed[:, o:o + C]; o += C
+        chunk_ctg = packed[:, o:o + C]; o += C
+        chunk_new = packed[:, o:o + C]; o += C
+        n_chunks = packed[:, o]
+        n_anchors = packed[:, o + 1]
+        overflow = packed[:, o + 2]
+        return iv, chunk_hi, chunk_ctg, chunk_new, n_chunks, n_anchors, \
+            overflow
+
+    def run_pairs(self, pairs: List[Tuple[int, int]]):
+        from ..ani import AniEstResult, chain_seeds_native, finalize_ani
+        from ..params import map_params_from_sketch
+        from .. import native
+        from ..chain import compute_switch
+        from ..gbdt import predict_from_ani_res
+
+        out = [None] * len(pairs)
+        meta = []
+        for t, (ri, qi) in enumerate(pairs):
+            ref = self.sketches[ri]
+            q = self.sketches[qi]
+            mp = map_params_from_sketch(ref, self.sketch_params.use_aa,
+                                        self.command_params, self.model)
+            if len(ref.contig_lengths) == 0 or len(q.contig_lengths) == 0:
+                r = AniEstResult()
+                r.ani = float("nan")
+                out[t] = r
+                continue
+            sw = compute_switch(ref, q)
+            meta.append((t, ri if sw else qi, qi if sw else ri, sw, mp,
+                         ri, qi))
+
+        for lo in range(0, len(meta), self.R):
+            group = meta[lo:lo + self.R]
+            a_idx = np.zeros(self.R, dtype=np.int32)
+            b_idx = np.zeros(self.R, dtype=np.int32)
+            for w, (_t, a, b, _sw, _mp, _ri, _qi) in enumerate(group):
+                a_idx[w] = a
+                b_idx[w] = b
+            mp0 = group[0][4]
+            packed_d, (qpa_c, qpa_p) = phase_a(
+                self.db.kmers, self.db.starts, self.db.counts, self.db.pos,
+                self.db.ctg, self.db.canon, self.db.pos_kid,
+                jnp.asarray(a_idx), jnp.asarray(b_idx),
+                A=self.A, I_CAP=self.I_CAP, C_CAP=self.C_CAP,
+                L_CAP=self.L_CAP,
+                band=mp0.index_chain_band, fl=mp0.fragment_length,
+                pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
+                max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
+                min_anchors=mp0.min_anchors, min_score=mp0.min_score)
+            packed = np.asarray(packed_d)
+            (iv_all, chunk_hi, chunk_ctg, chunk_new, n_chunks_v,
+             _n_anchors, overflow) = self._unpack(packed)
+
+            batch_q = []
+            batch_recs = []
+            for w, (_t, _a, _b, sw, mp, ri, _qi) in enumerate(group):
+                if overflow[w]:
+                    batch_recs.append(None)
+                    batch_q.append((np.zeros(0, np.int32),
+                                    np.zeros(0, np.int32)))
+                    continue
+                m = iv_all["valid"][w].astype(bool)
+                iv = dict(
+                    score=iv_all["score"][w][m].astype(np.float64),
+                    num=iv_all["num"][w][m].astype(np.int64),
+                    q0=iv_all["q0"][w][m].astype(np.uint32),
+                    q1=iv_all["q1"][w][m].astype(np.uint32),
+                    r0=iv_all["r0"][w][m].astype(np.uint32),
+                    r1=iv_all["r1"][w][m].astype(np.uint32),
+                    rc=iv_all["rc"][w][m].astype(np.int64),
+                    qc=np.zeros(int(m.sum()), dtype=np.int64),
+                    cid=iv_all["cid"][w][m].astype(np.int64),
+                    rev=iv_all["rev"][w][m].astype(np.uint8),
+                )
+                nch = int(n_chunks_v[w])
+                # query contig of each interval = contig of its chunk
+                iv["qc"] = chunk_ctg[w][iv["cid"].astype(np.int64)
+                                        ].astype(np.int64)
+                recs, qc, qv, totals = native.process_intervals_native(
+                    iv, int(m.sum()), chunk_hi[w][:nch].astype(np.int64),
+                    chunk_ctg[w][:nch].astype(np.int64),
+                    chunk_new[w][:nch].astype(np.uint8), nch,
+                    mp.k, int(self.sketches[ri].c), sw,
+                    mp.amino_acid, mp.min_length_cover)
+                batch_recs.append((recs, totals))
+                batch_q.append((qc, qv))
+
+            QC = max(max((len(q[0]) for q in batch_q), default=0), 1)
+            qg = np.zeros((self.R, QC), dtype=np.int32)
+            qv_arr = np.full((self.R, QC), -1, dtype=np.int32)
+            for w, (qc_a, qv_a) in enumerate(batch_q):
+                qg[w, :len(qc_a)] = qc_a
+                qv_arr[w, :len(qv_a)] = qv_a
+            ranks = np.asarray(_rank_queries(qpa_c, qpa_p, jnp.asarray(qg),
+                                             jnp.asarray(qv_arr)))
+
+            for w, (t, _a, _b, sw, mp, ri, qi) in enumerate(group):
+                ref = self.sketches[ri]
+                q = self.sketches[qi]
+                if batch_recs[w] is None:
+                    out[t] = chain_seeds_native(ref, q, mp)
+                    continue
+                recs, totals = batch_recs[w]
+                ani_ests = self._finalize_chunks(recs, ranks[w],
+                                                 int(ref.c), mp)
+                tqb, trr, avg_sum, num_chains = totals
+                avg_len = avg_sum // num_chains if num_chains else 0
+                res = finalize_ani(ani_ests, tqb, trr, avg_len, num_chains,
+                                   ref, q, mp, avg_already_divided=True)
+                if mp.model is not None:
+                    predict_from_ani_res(res, mp.model)
+                out[t] = res
+        return out
+
+    @staticmethod
+    def _finalize_chunks(recs: np.ndarray, rk: np.ndarray, c: int,
+                         mp) -> list:
+        """Vectorized per-chunk estimator tail (reference:
+        src/chain.rs:326-396) from aggregation records + seed ranks."""
+        if len(recs) == 0:
+            return []
+        k = mp.k
+        total_anchors = recs[:, 1].astype(np.float64)
+        tbc_query = recs[:, 2]
+        trq0 = recs[:, 3]
+        trq1 = recs[:, 4]
+        uoff = recs[:, 8]
+        n_union = recs[:, 9]
+        total_seeds = rk[uoff + 1] - rk[uoff]
+        in_range = rk[uoff + 3] - rk[uoff + 2]
+        # union sums (ragged): segment sums over consecutive query pairs
+        tot_u = int(n_union.sum())
+        if tot_u:
+            seg = np.repeat(np.arange(len(recs)), n_union)
+            base = np.repeat(uoff + 4, n_union)
+            off = np.arange(tot_u) - np.repeat(
+                np.cumsum(n_union) - n_union, n_union)
+            lo_i = base + 2 * off
+            in_union = np.bincount(
+                seg, weights=(rk[lo_i + 1] - rk[lo_i]).astype(np.float64),
+                minlength=len(recs))
+        else:
+            in_union = np.zeros(len(recs))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            putative = np.power(total_anchors / in_union, 1.0 / k)
+            considered = total_seeds.astype(np.int64).copy()
+            switch = ((putative > 0.950) & (tbc_query > c * 4)
+                      & (~mp.amino_acid)
+                      & (trq1 - trq0 < 18000)
+                      & (considered > 1.05 * in_range))
+            considered = np.where(switch, in_range, considered)
+            if mp.amino_acid:
+                ml = np.minimum(1.0, total_anchors / considered * 6.0)
+                weights = (total_seeds // 6).astype(np.int64)
+            else:
+                ml = np.minimum(1.0, total_anchors / considered)
+                weights = considered
+            ests = np.power(ml, 1.0 / k)
+        return list(zip(ests.tolist(), weights.tolist()))

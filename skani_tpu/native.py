@@ -36,6 +36,22 @@ class _PairOutput(ctypes.Structure):
     ]
 
 
+class _IvOutputView(ctypes.Structure):
+    _fields_ = [
+        ("rec_data", ctypes.POINTER(ctypes.c_int64)),
+        ("n_recs", ctypes.c_int64),
+        ("q_ctg", ctypes.POINTER(ctypes.c_int32)),
+        ("q_val", ctypes.POINTER(ctypes.c_int32)),
+        ("n_queries", ctypes.c_int64),
+        ("total_query_bases", ctypes.c_uint64),
+        ("total_ref_range", ctypes.c_uint64),
+        ("avg_chain_sum", ctypes.c_uint64),
+        ("num_chains", ctypes.c_int64),
+        ("owner", ctypes.c_void_p),
+        ("flat", ctypes.c_void_p),
+    ]
+
+
 def _build() -> Optional[str]:
     os.makedirs(_OUT_DIR, exist_ok=True)
     src = os.path.abspath(_SRC)
@@ -79,6 +95,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64]
     lib.free_pair_output.argtypes = [ctypes.POINTER(_PairOutput)]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.process_intervals.restype = ctypes.POINTER(_IvOutputView)
+    lib.process_intervals.argtypes = [
+        f64p, i64p, u32p, u32p, u32p, u32p, i64p, i64p, i64p, u8p,
+        ctypes.c_int64,
+        i64p, i64p, u8p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int64]
+    lib.free_iv_output.argtypes = [ctypes.POINTER(_IvOutputView)]
     _lib = lib
     return _lib
 
@@ -101,6 +126,50 @@ def fmh_seeds_native(seq: np.ndarray, params):
                         kmer, pos, canon, marker, ctypes.byref(nm))
     return (kmer[:cnt].copy(), pos[:cnt].copy(),
             canon[:cnt].astype(bool), marker[:nm.value].copy())
+
+
+def process_intervals_native(iv: dict, n_iv: int, chunk_hi: np.ndarray,
+                             chunk_ctg: np.ndarray,
+                             chunk_new_ctg: np.ndarray, n_chunks: int,
+                             k: int, c: int, switched: bool,
+                             amino_acid: bool, min_length_cover: int):
+    """Greedy non-overlap + per-chunk aggregation over device intervals.
+
+    iv: dict of per-interval arrays (score f64, num i64, q0/q1/r0/r1 u32,
+    rc/qc/cid i64, rev u8) of length n_iv.
+    Returns (records (n,10) i64, q_ctg i32[], q_val i32[], totals tuple).
+    Record columns: chunk_idx, total_anchors, tbc_query, trq0, trq1, ctg,
+    lo, hi, union_off, n_union.
+    """
+    lib = get_lib()
+    out = lib.process_intervals(
+        np.ascontiguousarray(iv["score"], np.float64),
+        np.ascontiguousarray(iv["num"], np.int64),
+        np.ascontiguousarray(iv["q0"], np.uint32),
+        np.ascontiguousarray(iv["q1"], np.uint32),
+        np.ascontiguousarray(iv["r0"], np.uint32),
+        np.ascontiguousarray(iv["r1"], np.uint32),
+        np.ascontiguousarray(iv["rc"], np.int64),
+        np.ascontiguousarray(iv["qc"], np.int64),
+        np.ascontiguousarray(iv["cid"], np.int64),
+        np.ascontiguousarray(iv["rev"], np.uint8),
+        n_iv,
+        np.ascontiguousarray(chunk_hi, np.int64),
+        np.ascontiguousarray(chunk_ctg, np.int64),
+        np.ascontiguousarray(chunk_new_ctg, np.uint8),
+        n_chunks, k, c, 1 if switched else 0, 1 if amino_acid else 0,
+        min_length_cover)
+    o = out.contents
+    recs = (np.ctypeslib.as_array(o.rec_data, shape=(o.n_recs, 10)).copy()
+            if o.n_recs else np.zeros((0, 10), dtype=np.int64))
+    qc = (np.ctypeslib.as_array(o.q_ctg, shape=(o.n_queries,)).copy()
+          if o.n_queries else np.zeros(0, dtype=np.int32))
+    qv = (np.ctypeslib.as_array(o.q_val, shape=(o.n_queries,)).copy()
+          if o.n_queries else np.zeros(0, dtype=np.int32))
+    totals = (int(o.total_query_bases), int(o.total_ref_range),
+              int(o.avg_chain_sum), int(o.num_chains))
+    lib.free_iv_output(out)
+    return recs, qc, qv, totals
 
 
 def run_pair_native(q_sk, r_sk, map_params, switched: bool, c: int):
