@@ -11,9 +11,23 @@
 // C ABI only (consumed via ctypes).
 #include <algorithm>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <ctime>
 #include <vector>
+
+static inline double now_ms() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec * 1e3 + ts.tv_nsec * 1e-6;
+}
+static bool profile_enabled() {
+    static int v = -1;
+    if (v < 0) v = getenv("SKANI_NATIVE_PROFILE") ? 1 : 0;
+    return v;
+}
 
 extern "C" {
 
@@ -154,33 +168,63 @@ static void build_anchors(const SketchView& q, const SketchView& r,
                           int64_t band, std::vector<Anchor>& anchors,
                           std::vector<std::vector<uint32_t>>& qpa,
                           int64_t n_q_contigs) {
-    qpa.assign((size_t)n_q_contigs, {});
+    // Anchors packed into (u64, u64) keys so the lexicographic sort
+    // (reference: src/types.rs:499-506 Ord) is a trivial 128-bit compare:
+    // hi = qc<<32 | qp, lo = rc<<33 | rp<<1 | rev.
+    std::vector<std::pair<uint64_t, uint64_t>> packed;
+    packed.reserve(4096);
+    std::vector<uint64_t> qpa_packed;  // ctg<<32 | pos
+    qpa_packed.reserve(4096);
     int64_t i = 0, j = 0;
     while (i < q.nk) {
         uint32_t kq = q.kmers[i];
         while (j < r.nk && r.kmers[j] < kq) j++;
         int64_t qs = q.starts[i], qe = q.starts[i + 1];
-        int64_t qc = qe - qs;
-        if (qc > band) { i++; continue; }
+        if (qe - qs > band) { i++; continue; }
         bool in_r = (j < r.nk && r.kmers[j] == kq);
         if (!in_r) {
             for (int64_t t = qs; t < qe; t++)
-                qpa[q.ctg[t]].push_back(q.pos[t]);
+                qpa_packed.push_back(((uint64_t)q.ctg[t] << 32) | q.pos[t]);
         } else {
             int64_t rs = r.starts[j], re = r.starts[j + 1];
             if (re - rs > band) { i++; continue; }
             for (int64_t t = qs; t < qe; t++)
-                qpa[q.ctg[t]].push_back(q.pos[t]);
-            for (int64_t t = qs; t < qe; t++)
-                for (int64_t u = rs; u < re; u++)
-                    anchors.push_back({q.ctg[t], q.pos[t], r.ctg[u],
-                                       r.pos[u],
-                                       (uint8_t)(q.canon[t] != r.canon[u])});
+                qpa_packed.push_back(((uint64_t)q.ctg[t] << 32) | q.pos[t]);
+            for (int64_t t = qs; t < qe; t++) {
+                uint64_t hi = ((uint64_t)q.ctg[t] << 32) | q.pos[t];
+                for (int64_t u = rs; u < re; u++) {
+                    uint64_t lo = ((uint64_t)r.ctg[u] << 33)
+                        | ((uint64_t)r.pos[u] << 1)
+                        | (uint64_t)(q.canon[t] != r.canon[u]);
+                    packed.push_back({hi, lo});
+                }
+            }
         }
         i++;
     }
-    std::sort(anchors.begin(), anchors.end());
-    for (auto& v : qpa) std::sort(v.begin(), v.end());
+    std::sort(packed.begin(), packed.end());
+    anchors.resize(packed.size());
+    for (size_t t = 0; t < packed.size(); t++) {
+        anchors[t] = {(uint32_t)(packed[t].first >> 32),
+                      (uint32_t)(packed[t].first & 0xFFFFFFFF),
+                      (uint32_t)(packed[t].second >> 33),
+                      (uint32_t)((packed[t].second >> 1) & 0xFFFFFFFF),
+                      (uint8_t)(packed[t].second & 1)};
+    }
+    // one flat sort of (ctg, pos), then split per contig
+    std::sort(qpa_packed.begin(), qpa_packed.end());
+    qpa.assign((size_t)n_q_contigs, {});
+    size_t s = 0;
+    while (s < qpa_packed.size()) {
+        uint32_t ctg = (uint32_t)(qpa_packed[s] >> 32);
+        size_t e = s;
+        while (e < qpa_packed.size() && (qpa_packed[e] >> 32) == ctg) e++;
+        auto& v = qpa[ctg];
+        v.resize(e - s);
+        for (size_t t = s; t < e; t++)
+            v[t - s] = (uint32_t)(qpa_packed[t] & 0xFFFFFFFF);
+        s = e;
+    }
 }
 
 // fragment chunking (reference: src/chain.rs:738-826). Returns chunk start
@@ -604,12 +648,16 @@ PairOutput* run_pair(
     auto* pres = new PairResult();
     std::vector<Anchor> anchors;
     std::vector<std::vector<uint32_t>> qpa;
+    double t0 = now_ms();
     build_anchors(q, r, band, anchors, qpa, n_q_contigs);
+    double t1 = now_ms();
     pres->n_anchors = (int64_t)anchors.size();
+    double t2 = t1, t3 = t1, t4 = t1, t5 = t1;
     if (!anchors.empty()) {
         std::vector<int64_t> cs;
         std::vector<std::vector<uint32_t>> seeds;
         chunk_anchors(anchors, qpa, fragment_length, cs, seeds);
+        t2 = now_ms();
         int64_t n_chunks = (int64_t)cs.size() - 1;
         std::vector<double> dp(anchors.size());
         std::vector<int64_t> ptr(anchors.size());
@@ -618,14 +666,27 @@ PairOutput* run_pair(
             int64_t s = cs[t], e = cs[t + 1];
             chain_dp(anchors.data() + s, e - s, band, past_chain_length,
                      max_gap, anchor_score, dp.data() + s, ptr.data() + s);
+        }
+        t3 = now_ms();
+        for (int64_t t = 0; t < n_chunks; t++) {
+            int64_t s = cs[t], e = cs[t + 1];
             extract_intervals(anchors.data() + s, e - s, s, dp.data() + s,
                               ptr.data() + s, min_anchors, min_score, t,
                               ivs);
         }
+        t4 = now_ms();
         std::vector<std::vector<Interval>> good;
         nonoverlap(ivs, n_chunks, good);
+        t5 = now_ms();
         chunk_stats(good, seeds, k, c, switched != 0, amino_acid != 0,
                     min_length_cover, *pres);
+    }
+    if (profile_enabled()) {
+        fprintf(stderr,
+                "[native] join %.2f chunk %.2f dp %.2f extract %.2f "
+                "overlap %.2f stats %.2f ms (%lld anchors)\n",
+                t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4,
+                now_ms() - t5, (long long)pres->n_anchors);
     }
     auto* out = new PairOutput();
     out->owner = pres;

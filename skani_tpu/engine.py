@@ -103,6 +103,7 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
                   "found.")
         raise SystemExit(1)
 
+    screen.check_small_contigs(ref_sketches, query_sketches, log.warning)
     model = gbdt.get_model(sketch_params.c, command_params.learned_ani)
     if model is not None:
         log.info(LEARNED_INFO_HELP)
@@ -180,6 +181,13 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
     model = gbdt.get_model(sketch_params.c, command_params.learned_ani)
     if model is not None:
         log.info(LEARNED_INFO_HELP)
+
+    num_rescue = sum(1 for s in ref_sketches if len(s.marker_seeds) < 20)
+    if (num_rescue > 1000 and command_params.rescue_small
+            and len(ref_sketches) > 2000):
+        log.warning("> 1000 genomes with < 20 markers are detected. "
+                    "Consider decreasing -m value and/or using "
+                    "--faster-small for faster calculations.")
 
     pairs = []
     for i in range(len(ref_sketches) - 1):

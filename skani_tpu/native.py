@@ -172,6 +172,19 @@ def process_intervals_native(iv: dict, n_iv: int, chunk_hi: np.ndarray,
     return recs, qc, qv, totals
 
 
+def _marshal(sk):
+    """Cache ctypes-ready contiguous arrays on the sketch object."""
+    m = getattr(sk, "_native_arrays", None)
+    if m is None:
+        m = (np.ascontiguousarray(sk.seed_kmers, np.uint32),
+             np.ascontiguousarray(sk.seed_starts, np.int64),
+             np.ascontiguousarray(sk.seed_pos, np.uint32),
+             np.ascontiguousarray(sk.seed_contig, np.uint32),
+             np.ascontiguousarray(sk.seed_canon, np.uint8))
+        sk._native_arrays = m
+    return m
+
+
 def run_pair_native(q_sk, r_sk, map_params, switched: bool, c: int):
     """Full per-pair pipeline on pre-switched sketches.
 
@@ -180,20 +193,12 @@ def run_pair_native(q_sk, r_sk, map_params, switched: bool, c: int):
     """
     lib = get_lib()
     pcl = min(map_params.fragment_length // 2, map_params.bp_chain_band)
+    qm = _marshal(q_sk)
+    rm = _marshal(r_sk)
     out = lib.run_pair(
-        np.ascontiguousarray(q_sk.seed_kmers, np.uint32),
-        np.ascontiguousarray(q_sk.seed_starts, np.int64),
-        len(q_sk.seed_kmers),
-        np.ascontiguousarray(q_sk.seed_pos, np.uint32),
-        np.ascontiguousarray(q_sk.seed_contig, np.uint32),
-        np.ascontiguousarray(q_sk.seed_canon, np.uint8),
+        qm[0], qm[1], len(q_sk.seed_kmers), qm[2], qm[3], qm[4],
         len(q_sk.contigs),
-        np.ascontiguousarray(r_sk.seed_kmers, np.uint32),
-        np.ascontiguousarray(r_sk.seed_starts, np.int64),
-        len(r_sk.seed_kmers),
-        np.ascontiguousarray(r_sk.seed_pos, np.uint32),
-        np.ascontiguousarray(r_sk.seed_contig, np.uint32),
-        np.ascontiguousarray(r_sk.seed_canon, np.uint8),
+        rm[0], rm[1], len(r_sk.seed_kmers), rm[2], rm[3], rm[4],
         map_params.index_chain_band, map_params.fragment_length, pcl,
         map_params.max_gap_length, map_params.anchor_score,
         map_params.min_anchors, map_params.min_score, map_params.k,

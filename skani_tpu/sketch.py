@@ -179,9 +179,12 @@ def _finalize_sketch(sk: Sketch, kmers_parts, pos_parts, canon_parts,
         sk.marker_seeds = np.unique(np.concatenate(marker_parts))
 
 
-def default_seeder():
+def default_seeder(params: Optional[SketchParams] = None):
     """Fastest available bit-exact seeding kernel (native C++ if built,
-    else the NumPy reference)."""
+    else the NumPy reference); AA path for use_aa."""
+    if params is not None and params.use_aa:
+        from .aa import fmh_seeds_aa_np
+        return fmh_seeds_aa_np
     try:
         from . import native
         if native.available():
@@ -198,7 +201,7 @@ def sketch_file(path: str, params: SketchParams, seed: bool = True,
     files (caller warns+skips).  `seeder` overrides the per-contig kernel
     (e.g. the TPU kernel); defaults to the fastest bit-exact kernel.
     """
-    seeder = seeder or default_seeder()
+    seeder = seeder or default_seeder(params)
     sk = Sketch(file_name=path, marker_c=params.c, c=params.c, k=params.k,
                 amino_acid=params.use_aa)
     kmers_parts, pos_parts, canon_parts, contig_parts, marker_parts = \
@@ -235,7 +238,7 @@ def sketch_file_individual(path: str, params: SketchParams, seed: bool = True,
                            seeder=None) -> List[Sketch]:
     """One Sketch per contig (-i/--qi/--ri mode)
     (reference: src/file_io.rs:253-362)."""
-    seeder = seeder or default_seeder()
+    seeder = seeder or default_seeder(params)
     out = []
     j = 0
     try:
