@@ -26,6 +26,15 @@ from .sketch import (Sketch, fastx_to_multiple_sketch_rewrite,
 log = logging.getLogger("skani_tpu")
 
 
+def _make_marker_index(ref_sketches):
+    """Marker inverted index — sharded across the device mesh when
+    SKANI_TPU_SHARDED=1 (multi-chip DB layout), host CSR index otherwise."""
+    if os.environ.get("SKANI_TPU_SHARDED") == "1":
+        from .parallel import ShardedMarkerScreen
+        return ShardedMarkerScreen(ref_sketches)
+    return screen.MarkerIndex(ref_sketches)
+
+
 def _resolve_screen_val(command_params: CommandParams,
                         sketch_params: SketchParams) -> float:
     if command_params.screen_val == 0.0:
@@ -112,7 +121,7 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
     index = None
     if command_params.screen:
         log.info("Full index option detected; generating marker hash table")
-        index = screen.MarkerIndex(ref_sketches)
+        index = _make_marker_index(ref_sketches)
 
     anis: List[AniEstResult] = []
     first_write = True
@@ -177,7 +186,7 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
                     "instead.")
 
     screen_val = _resolve_screen_val(command_params, sketch_params)
-    index = screen.MarkerIndex(ref_sketches)
+    index = _make_marker_index(ref_sketches)
     model = gbdt.get_model(sketch_params.c, command_params.learned_ani)
     if model is not None:
         log.info(LEARNED_INFO_HELP)
@@ -247,7 +256,7 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     index = None
     if command_params.screen:
         log.info("Full index option detected; generating marker hash table")
-        index = screen.MarkerIndex(ref_sketches)
+        index = _make_marker_index(ref_sketches)
 
     folder = os.path.dirname(ref_marker_file) or "."
     db_reader = None
