@@ -42,6 +42,10 @@ class DeviceDb:
         ctg = np.full((G, P), CTG_SENTINEL, dtype=np.int32)
         canon = np.zeros((G, P), dtype=bool)
         pos_kid = np.zeros((G, P), dtype=np.int32)
+        # contig-id packing (contig*2 + canonical bit, and contig*4 + flags
+        # on device) requires small contig indices
+        max_ctgs = max((len(s.contig_lengths) for s in sketches), default=0)
+        assert max_ctgs < (1 << 28), "too many contigs for device packing"
         n_kmers = np.zeros(G, dtype=np.int32)
         n_pos = np.zeros(G, dtype=np.int32)
         for g, s in enumerate(sketches):
@@ -66,6 +70,9 @@ class DeviceDb:
         self.pos = put(pos)
         self.ctg = put(ctg)
         self.canon = put(canon)
+        # packed per-position (contig << 1 | canonical): one gather instead
+        # of two in the anchor-expansion hot path
+        self.ctgc = put(ctg * 2 + canon.astype(np.int32))
         self.pos_kid = put(pos_kid)
         self.n_kmers = put(n_kmers)
         self.n_pos = put(n_pos)

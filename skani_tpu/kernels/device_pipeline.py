@@ -1,29 +1,42 @@
-"""Device-resident pair engine (V2): join -> chunk -> DP -> chains on device.
+"""Device-resident pair engine (V3): join -> chunk -> DP -> chains on device.
 
 The per-pair hot path of the reference (reference: src/chain.rs:144-171)
 executed entirely on the TPU for a BATCH of genome pairs against the
 device-resident DeviceDb:
 
   phase A (one jit):
-    * sorted-merge seed join (vmapped searchsorted) with the reference's
+    * sorted-merge seed join (sort-based searchsorted) with the reference's
       repeat band caps;
-    * capped cross-product anchor expansion into a fixed-size buffer;
+    * capped cross-product anchor expansion into a fixed-size buffer
+      (scatter + cummax instead of per-slot binary search);
     * multi-key anchor sort (lax.sort, 5 keys);
     * fragment chunking in CLOSED FORM: the reference's sequential
       cep-advance scan (reference: src/chain.rs:738-826) reduces, per contig
       segment, to m_t = min(q_t, t+1, t + prefmin_s(q_s - s)) where
       q_t = max(0, (qp_t - qp_first - 1) // fragment_length) — q_t is
       nondecreasing because anchors are sorted, so the cascade counter is a
-      segmented prefix-min (log-depth associative_scan), no sequential scan;
+      segmented prefix-min, computed here as a single lax.cummax over
+      (segment_id << VBITS | encoded value) packed keys;
     * banded chaining DP as a lax.scan over anchors REGROUPED to
       rows-per-chunk — the dependency chain is per chunk, so the scan length
-      is the chunk cap, not the total anchor count;
-    * chain extraction via pointer doubling + scatter reductions;
+      is the chunk cap, not the total anchor count; chain ROOT and DEPTH are
+      propagated through the scan's band ring buffer, so no pointer-chasing
+      pass is needed afterwards;
+    * chain extraction as input-sized scatters in the COMPACT anchor domain
+      (per-root best via packed (score, column) scatter-max);
     * ALL outputs packed into one int32 tensor (one host roundtrip).
   host: greedy overlap resolution + per-chunk aggregation (native C++),
     which emits seed-rank queries.
   phase B (one jit): batched lexicographic rank queries against the
     device-side per-pair seed-position table.
+
+Performance notes (measured on TPU v5e over a tunneled link): 2D
+take_along_axis gathers and per-element binary searches are the expensive
+primitives (~60ms / ~200ms per call at these shapes); lax.sort, lax.cummax,
+flat 1-D gathers, and input-small scatters are cheap (<5ms).  V3 is written
+entirely in terms of the cheap set; V2's pointer-doubling chain extraction
+(20 large 2-D gathers) is replaced by in-scan root propagation plus
+compact-domain scatters.
 
 Only sketches (once per genome) and tiny per-pair results cross the host
 link — the design premise for both the slow-link single chip and the
@@ -54,25 +67,19 @@ I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
 
 
-def _seg_propagate(values, flags, init):
-    """Per row: out[t] = values at the latest index s<=t with flags[s]."""
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-    out, _ = jax.lax.associative_scan(
-        op, (jnp.where(flags, values, init), flags), axis=1)
-    return out
+def _ceil_log2(n: int) -> int:
+    return int(np.ceil(np.log2(max(n, 2))))
 
 
-def _seg_cummin(values, seg_start):
-    """Segmented prefix-min along axis 1 (reset at seg_start)."""
-    def op(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
-    out, _ = jax.lax.associative_scan(op, (values, seg_start), axis=1)
-    return out
+def _row_gather(mat, idx):
+    """take_along_axis(mat, idx, axis=1) as a flat 1-D gather.
+
+    XLA lowers 1-D gathers far better than 2-D take_along_axis on TPU
+    (~3ms vs ~60ms per million elements at our shapes).
+    """
+    R, N = mat.shape
+    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+    return mat.reshape(-1)[(rows * N + idx).reshape(-1)].reshape(idx.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +90,7 @@ def _seg_cummin(values, seg_start):
     jax.jit,
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score"))
-def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
+def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
             db_pos_kid,
             a_idx, b_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
@@ -101,22 +108,22 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
     b_start = db_starts[b_idx]
 
     # --- join (reference: src/chain.rs:666-712) ---
-    idx = jax.vmap(jnp.searchsorted)(bk, ak)
+    idx = jax.vmap(functools.partial(jnp.searchsorted, method="sort"))(bk, ak)
     idx = jnp.minimum(idx, K - 1)
     a_valid = ak != jnp.uint32(0xFFFFFFFF)
-    hit = (jnp.take_along_axis(bk, idx, axis=1) == ak) & a_valid
-    b_cnt_hit = jnp.where(hit, jnp.take_along_axis(b_cnt, idx, axis=1), 0)
-    b_start_hit = jnp.where(hit, jnp.take_along_axis(b_start, idx, axis=1), 0)
+    hit = (_row_gather(bk, idx) == ak) & a_valid
+    b_cnt_hit = jnp.where(hit, _row_gather(b_cnt, idx), 0)
+    b_start_hit = jnp.where(hit, _row_gather(b_start, idx), 0)
     a_ok = (a_cnt <= band) & a_valid
     pair_ok = hit & a_ok & (b_cnt_hit <= band)
 
     # query-position table mask
     qpa_kmer_ok = a_ok & ~(hit & (b_cnt_hit > band))
     pos_kid_a = db_pos_kid[a_idx]
-    qpa_keep = jnp.take_along_axis(qpa_kmer_ok, pos_kid_a, axis=1)
+    qpa_keep = _row_gather(qpa_kmer_ok, pos_kid_a)
     pos_a = db_pos[a_idx]
-    ctg_a = db_ctg[a_idx]
-    canon_a = db_canon[a_idx]
+    ctgc_a = db_ctgc[a_idx]       # packed contig*2 + canonical
+    ctg_a = ctgc_a >> 1
     qpa_keep &= ctg_a != CTG_SENTINEL
 
     qpa_ctg_s, qpa_pos_s = jax.lax.sort(
@@ -125,35 +132,34 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
         dimension=1, num_keys=2)
 
     # --- anchor expansion ---
+    # slot -> kmer assignment: scatter each emitting kmer's id at its first
+    # output slot, then forward-fill with cummax (offsets strictly increase
+    # across emitting kmers, so each slot sees the right kmer).
     pair_counts = jnp.where(pair_ok, a_cnt * b_cnt_hit, 0)
     offs = jnp.cumsum(pair_counts, axis=1) - pair_counts
     total = offs[:, -1] + pair_counts[:, -1]
     slots = jnp.arange(A, dtype=jnp.int32)[None, :]
-    inc = offs + pair_counts
-    g = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="right"))(
-        inc, jnp.broadcast_to(slots, (R, A)))
-    g = jnp.minimum(g, K - 1)
+    rowi = jnp.arange(R)[:, None]
+    kcols = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (R, K))
+    emit = pair_ok & (pair_counts > 0) & (offs < A)
+    g = jnp.full((R, A), -1, jnp.int32).at[
+        rowi, jnp.where(emit, offs, A)].max(kcols, mode="drop")
+    g = jnp.clip(jax.lax.cummax(g, axis=1), 0, K - 1)
     anchor_valid = slots < jnp.minimum(total, A)[:, None]
-    rank = slots - jnp.take_along_axis(offs, g, axis=1)
-    bc = jnp.maximum(jnp.take_along_axis(b_cnt_hit, g, axis=1), 1)
-    arow = jnp.clip(jnp.take_along_axis(a_start, g, axis=1) + rank // bc,
-                    0, P - 1)
-    brow = jnp.clip(jnp.take_along_axis(b_start_hit, g, axis=1)
-                    + rank % bc, 0, P - 1)
+    rank = slots - _row_gather(offs, g)
+    bc = jnp.maximum(_row_gather(b_cnt_hit, g), 1)
+    arow = jnp.clip(_row_gather(a_start, g) + rank // bc, 0, P - 1)
+    brow = jnp.clip(_row_gather(b_start_hit, g) + rank % bc, 0, P - 1)
 
     pos_b = db_pos[b_idx]
-    ctg_b = db_ctg[b_idx]
-    canon_b = db_canon[b_idx]
-    qp = jnp.where(anchor_valid, jnp.take_along_axis(pos_a, arow, axis=1),
-                   I32MAX)
-    qc = jnp.where(anchor_valid, jnp.take_along_axis(ctg_a, arow, axis=1),
-                   I32MAX)
-    rp = jnp.where(anchor_valid, jnp.take_along_axis(pos_b, brow, axis=1),
-                   I32MAX)
-    rc = jnp.where(anchor_valid, jnp.take_along_axis(ctg_b, brow, axis=1),
-                   I32MAX)
-    rev = (jnp.take_along_axis(canon_a, arow, axis=1)
-           != jnp.take_along_axis(canon_b, brow, axis=1)) & anchor_valid
+    ctgc_b = db_ctgc[b_idx]
+    qp = jnp.where(anchor_valid, _row_gather(pos_a, arow), I32MAX)
+    qcc = _row_gather(ctgc_a, arow)
+    rp = jnp.where(anchor_valid, _row_gather(pos_b, brow), I32MAX)
+    rcc = _row_gather(ctgc_b, brow)
+    qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
+    rc = jnp.where(anchor_valid, rcc >> 1, I32MAX)
+    rev = ((qcc & 1) != (rcc & 1)) & anchor_valid
 
     # --- anchor sort (reference: src/types.rs:499-506 Ord) ---
     qc, qp, rc, rp, rev_s, anchor_valid = jax.lax.sort(
@@ -166,12 +172,26 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
     prev_qc = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32),
                                qc[:, :-1]], axis=1)
     seg_start = anchor_valid & (qc != prev_qc)
-    qp_first = _seg_propagate(qp, seg_start, jnp.int32(0))
-    seg_idx0 = _seg_propagate(cols, seg_start, jnp.int32(0))
+    # first column of the current segment: forward-fill of flagged columns
+    seg_idx0 = jnp.maximum(
+        jax.lax.cummax(jnp.where(seg_start, cols, -1), axis=1), 0)
+    qp_first = _row_gather(qp, seg_idx0)
     t_in_seg = cols - seg_idx0
     u = qp - qp_first
     q_units = jnp.maximum(0, (u - 1) // fl).astype(jnp.int32)
-    pm = _seg_cummin(q_units - t_in_seg, seg_start)
+    # segmented prefix-min of (q_units - t_in_seg) via one packed cummax:
+    # high bits = segment id (resets the running min at each new segment),
+    # low VBITS = descending encoding of the value (so max picks the min).
+    VBITS = _ceil_log2(A) + 1
+    VCAP = (1 << VBITS) - 1
+    QMAX = VCAP - A - 1
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32), axis=1)
+    seg_overflow = seg_id[:, -1] >= (1 << (30 - VBITS))
+    qu_overflow = jnp.any(anchor_valid & (q_units > QMAX), axis=1)
+    q_units = jnp.minimum(q_units, QMAX)
+    v_enc = VCAP - (q_units - t_in_seg + A)    # in [0, VCAP-1], desc in v
+    packed = (seg_id << VBITS) | v_enc
+    pm = (VCAP - (jax.lax.cummax(packed, axis=1) & VCAP)) - A
     m = jnp.minimum(jnp.minimum(q_units, t_in_seg + 1), t_in_seg + pm)
     prev_m = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), m[:, :-1]],
                              axis=1)
@@ -180,7 +200,6 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
     cid = jnp.where(anchor_valid, cid, -1)
     n_chunks = jnp.max(cid, axis=1) + 1
 
-    rowi = jnp.arange(R)[:, None]
     # per-chunk metadata (scatter at chunk-start anchors; OOB -> drop)
     cs_idx = jnp.where(chunk_start & (cid < C_CAP), cid, C_CAP)
     chunk_ctg = jnp.full((R, C_CAP + 1), -1, jnp.int32
@@ -200,17 +219,19 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
     chunk_first = jnp.full((R, C_CAP + 1), BIG, jnp.int32).at[
         rowi, jnp.where(anchor_valid & (cid < C_CAP) & (cid >= 0),
                         cid, C_CAP)].min(cols)[:, :C_CAP]
-    col_in_chunk = cols - jnp.take_along_axis(
-        chunk_first, jnp.clip(cid, 0, C_CAP - 1), axis=1)
+    col_in_chunk = cols - _row_gather(chunk_first,
+                                      jnp.clip(cid, 0, C_CAP - 1))
     ok_place = anchor_valid & (cid >= 0) & (cid < C_CAP) \
         & (col_in_chunk < L_CAP)
     overflow = (total > A) | (n_chunks > C_CAP) \
-        | jnp.any(anchor_valid & ~ok_place, axis=1)
+        | jnp.any(anchor_valid & ~ok_place, axis=1) \
+        | seg_overflow | qu_overflow
     RC = R * C_CAP
     flat_row = (rowi * C_CAP + jnp.clip(cid, 0, C_CAP - 1)).reshape(-1)
     flat_col = jnp.clip(col_in_chunk, 0, L_CAP - 1).reshape(-1)
     keep = ok_place.reshape(-1)
     flat_row = jnp.where(keep, flat_row, RC)
+    dest = flat_row * L_CAP + flat_col          # compact -> padded index
 
     def scatter(vals, fill):
         buf = jnp.full((RC + 1, L_CAP), fill, vals.dtype)
@@ -219,17 +240,24 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
 
     gqp = scatter(qp, I32MAX)
     grp = scatter(rp, I32MAX)
-    grc = scatter(rc, I32MAX)
-    grev = scatter(rev, False)
-    gval = scatter(ok_place, False)
+    # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
+    grcv = scatter(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
+    grc = jnp.where(grcv != 0, grcv >> 2, -2)
+    grev = ((grcv >> 1) & 1).astype(bool)
+    gval = (grcv & 1).astype(bool)
 
     # --- banded chaining DP (reference: src/chain.rs:838-896) ---
+    # The scan also PROPAGATES each anchor's chain root (as its padded
+    # column) and depth (hops from the root) through the band ring buffer,
+    # which makes the post-DP pointer-chasing of V2 unnecessary.
     neg = jnp.float32(-3.0e38)
     U = 8
     assert L_CAP % U == 0
+    DBITS = _ceil_log2(L_CAP + 1)
+    assert anchor_score == float(int(anchor_score))  # integer DP scores
 
     def dp_one(carry, x):
-        dp_w, qp_w, rp_w, rc_w, rev_w, val_w, i = carry
+        dp_w, qp_w, rp_w, rc_w, rev_w, val_w, root_w, dep_w, i = carry
         qp_i, rp_i, rc_i, rev_i, val_i = x
         d_q = (qp_i[:, None] - qp_w).astype(jnp.float32)
         d_r_f = (rp_i[:, None] - rp_w).astype(jnp.float32)
@@ -246,18 +274,23 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
         ok &= (i - 1 - jnp.arange(band) >= 0)[None, :]
         cand = jnp.where(ok, anchor_score - gap + dp_w, neg)
         best_w = jnp.argmax(cand, axis=1)
-        best_val = jnp.take_along_axis(cand, best_w[:, None], axis=1)[:, 0]
+        pick = lambda w: jnp.take_along_axis(w, best_w[:, None], axis=1)[:, 0]
+        best_val = pick(cand)
         take = best_val > 0.0
         dp_i = jnp.where(take, best_val, 0.0).astype(jnp.float32)
-        ptr_i = jnp.where(take, i - 1 - best_w, i).astype(jnp.int32)
+        root_i = jnp.where(take, pick(root_w), i).astype(jnp.int32)
+        dep_i = jnp.where(take, pick(dep_w) + 1, 0).astype(jnp.int32)
 
         def shift(w, new):
             return jnp.concatenate([new[:, None], w[:, :-1]], axis=1)
 
         carry = (shift(dp_w, dp_i), shift(qp_w, qp_i), shift(rp_w, rp_i),
                  shift(rc_w, rc_i), shift(rev_w, rev_i),
-                 shift(val_w, val_i), i + 1)
-        return carry, (dp_i, ptr_i)
+                 shift(val_w, val_i), shift(root_w, root_i),
+                 shift(dep_w, dep_i), i + 1)
+        # pack (score, depth) into one int32 output
+        dd_i = (dp_i.astype(jnp.int32) << DBITS) | dep_i
+        return carry, (dd_i, root_i)
 
     def dp_step(carry, xs):
         outs = []
@@ -273,72 +306,79 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctg, db_canon,
              jnp.full((RC, band), -2, jnp.int32),
              jnp.zeros((RC, band), bool),
              jnp.zeros((RC, band), bool),
+             jnp.zeros((RC, band), jnp.int32),
+             jnp.zeros((RC, band), jnp.int32),
              jnp.int32(0))
     dxs_u = tuple(x.T.reshape(L_CAP // U, U, RC)
                   for x in (gqp, grp, grc, grev, gval))
-    _, (dp_T, ptr_T) = jax.lax.scan(dp_step, dinit, dxs_u)
-    dp = dp_T.reshape(L_CAP, RC).T
-    ptr = ptr_T.reshape(L_CAP, RC).T
+    _, (dd_T, root_T) = jax.lax.scan(dp_step, dinit, dxs_u)
+    dd = dd_T.reshape(L_CAP, RC).T      # (RC, L_CAP) packed score<<DBITS|dep
+    root = root_T.reshape(L_CAP, RC).T  # (RC, L_CAP) padded column of root
 
-    # --- chain extraction (reference: src/chain.rs:939-1007) ---
-    root = ptr
-    log_l = int(np.ceil(np.log2(max(L_CAP, 2))))
-    for _ in range(log_l):
-        root = jnp.take_along_axis(root, root, axis=1)
-    lcols = jnp.broadcast_to(jnp.arange(L_CAP, dtype=jnp.int32)[None, :],
-                             (RC, L_CAP))
-    depth = (ptr != lcols).astype(jnp.int32)
-    jump = ptr
-    for _ in range(log_l):
-        depth = depth + jnp.take_along_axis(depth, jump, axis=1)
-        jump = jnp.take_along_axis(jump, jump, axis=1)
-    rci = jnp.arange(RC)[:, None]
-    size = jnp.zeros((RC, L_CAP), jnp.int32).at[rci, root].add(
-        gval.astype(jnp.int32))
-    root_best = jnp.full((RC, L_CAP), neg, jnp.float32).at[rci, root].max(
-        jnp.where(gval, dp, neg))
-    is_best = gval & (dp == jnp.take_along_axis(root_best, root, axis=1))
-    best_idx = jnp.full((RC, L_CAP), L_CAP, jnp.int32).at[rci, root].min(
-        jnp.where(is_best, lcols, L_CAP))
-    is_root = (ptr == lcols) & gval
-    bidx = jnp.clip(best_idx, 0, L_CAP - 1)
-    num_anchors = jnp.take_along_axis(depth, bidx, axis=1) + 1
+    # --- chain extraction in the COMPACT domain (src/chain.rs:939-1007) ---
+    # Bring DP results back to the compact (R, A) anchor layout with flat
+    # gathers, then aggregate per root with input-sized scatters.
+    dest_c = jnp.clip(dest, 0, RC * L_CAP - 1).reshape(R, A)
+    dd_c = dd.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
+    root_pad = root.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
+    # compact column of each padded slot (for root -> compact id mapping)
+    gsrc = scatter(cols, 0)
+    root_flat = jnp.clip((dest_c // L_CAP) * L_CAP + root_pad,
+                         0, RC * L_CAP - 1)
+    root_cid = gsrc.reshape(-1)[root_flat.reshape(-1)].reshape(R, A)
+
+    valid_c = ok_place
+    dp_c = dd_c >> DBITS
+    dep_c = dd_c & ((1 << DBITS) - 1)
+    INVBITS = _ceil_log2(A)
+    # per-root best anchor: max score, ties -> smallest column
+    key = (dp_c << INVBITS) | (A - 1 - cols)
+    sc_idx = jnp.where(valid_c, root_cid, A)
+    root_best = jnp.full((R, A + 1), -1, jnp.int32).at[
+        rowi, sc_idx].max(key, mode="drop")[:, :A]
+    size = jnp.zeros((R, A + 1), jnp.int32).at[
+        rowi, sc_idx].add(1, mode="drop")[:, :A]
+    rb_here = _row_gather(root_best, jnp.clip(root_cid, 0, A - 1))
+    is_best = valid_c & (key == rb_here)
+    bst_idx = jnp.where(is_best, root_cid, A)
+    qp_best = jnp.zeros((R, A + 1), jnp.int32).at[
+        rowi, bst_idx].max(qp, mode="drop")[:, :A]
+    rp_best = jnp.zeros((R, A + 1), jnp.int32).at[
+        rowi, bst_idx].max(rp, mode="drop")[:, :A]
+    dep_best = jnp.zeros((R, A + 1), jnp.int32).at[
+        rowi, bst_idx].max(dep_c, mode="drop")[:, :A]
+
+    is_root = valid_c & (root_cid == cols)
+    num_anchors = dep_best + 1
+    best_score = root_best >> INVBITS
     good = (is_root & (size >= min_anchors) & (num_anchors >= min_anchors)
-            & (root_best >= min_score))
+            & (best_score.astype(jnp.float32) >= min_score))
 
-    iq0 = gqp
-    iq1 = jnp.take_along_axis(gqp, bidx, axis=1)
-    e2 = jnp.take_along_axis(grp, bidx, axis=1)
-    ir0 = jnp.minimum(grp, e2)
-    ir1 = jnp.maximum(grp, e2)
-    icid = jnp.broadcast_to(
-        (jnp.arange(RC, dtype=jnp.int32) % C_CAP)[:, None], (RC, L_CAP))
+    iq0 = qp
+    iq1 = qp_best
+    ir0 = jnp.minimum(rp, rp_best)
+    ir1 = jnp.maximum(rp, rp_best)
+    overflow |= jnp.sum(good, axis=1) > I_CAP
 
     # --- compact intervals per PAIR and pack everything into one i32 ---
-    def per_pair(x):
-        return x.reshape(R, C_CAP * L_CAP)
-
-    pgood = per_pair(good)
-    order = jnp.argsort(~pgood, axis=1, stable=True)[:, :I_CAP]
-    tk = lambda x: jnp.take_along_axis(per_pair(x), order, axis=1)
-    iv_block = jnp.concatenate([
-        tk(pgood).astype(jnp.int32),
-        tk(root_best.astype(jnp.int32)),
-        tk(num_anchors),
-        tk(iq0), tk(iq1), tk(ir0), tk(ir1),
-        tk(grc),
-        tk(icid),
-        tk(grev.astype(jnp.int32)),
-    ], axis=1)
+    sort_key = jnp.where(good, cols, BIG)
+    (_, sgood, sscore, snum, sq0, sq1, sr0, sr1, src_, scid, srev
+     ) = jax.lax.sort(
+        (sort_key, good.astype(jnp.int32), best_score, num_anchors,
+         iq0, iq1, ir0, ir1, rc, cid, rev.astype(jnp.int32)),
+        dimension=1, num_keys=1)
+    iv_block = jnp.concatenate(
+        [x[:, :I_CAP] for x in (sgood, sscore, snum, sq0, sq1, sr0, sr1,
+                                src_, scid, srev)], axis=1)
     scalars = jnp.stack([n_chunks,
                          jnp.minimum(total, I32MAX).astype(jnp.int32),
                          overflow.astype(jnp.int32)], axis=1)
-    packed = jnp.concatenate([
+    packed_out = jnp.concatenate([
         iv_block,
         chunk_hi, chunk_ctg, chunk_new_ctg.astype(jnp.int32),
         scalars,
     ], axis=1)
-    return packed, (qpa_ctg_s, qpa_pos_s)
+    return packed_out, (qpa_ctg_s, qpa_pos_s)
 
 
 # ---------------------------------------------------------------------------
@@ -356,8 +396,8 @@ def _rank_queries(qpa_ctg_s, qpa_pos_s, qg, qv):
     for _ in range(steps):
         mid = (lo + hi) // 2
         midc = jnp.clip(mid, 0, P - 1)
-        c = jnp.take_along_axis(qpa_ctg_s, midc, axis=1)
-        p = jnp.take_along_axis(qpa_pos_s, midc, axis=1)
+        c = _row_gather(qpa_ctg_s, midc)
+        p = _row_gather(qpa_pos_s, midc)
         le = (c < qg) | ((c == qg) & (p <= qv))
         le &= mid < P
         lo = jnp.where(le, mid + 1, lo)
@@ -375,7 +415,7 @@ class DevicePairEngine:
     N_IV_FIELDS = 10  # valid, score, num, q0, q1, r0, r1, rc, cid, rev
 
     def __init__(self, sketches: Sequence, sketch_params, command_params,
-                 model=None, batch: int = 16,
+                 model=None, batch: int = 32,
                  i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768):
         self.sketches = list(sketches)
         self.db = DeviceDb(self.sketches)
@@ -407,12 +447,101 @@ class DevicePairEngine:
         return iv, chunk_hi, chunk_ctg, chunk_new, n_chunks, n_anchors, \
             overflow
 
-    def run_pairs(self, pairs: List[Tuple[int, int]]):
-        from ..ani import AniEstResult, chain_seeds_native, finalize_ani
-        from ..params import map_params_from_sketch
+    def _dispatch_phase_a(self, group, mp0):
+        a_idx = np.zeros(self.R, dtype=np.int32)
+        b_idx = np.zeros(self.R, dtype=np.int32)
+        for w, (_t, a, b, _sw, _mp, _ri, _qi) in enumerate(group):
+            a_idx[w] = a
+            b_idx[w] = b
+        return phase_a(
+            self.db.kmers, self.db.starts, self.db.counts, self.db.pos,
+            self.db.ctgc, self.db.pos_kid,
+            jnp.asarray(a_idx), jnp.asarray(b_idx),
+            A=self.A, I_CAP=self.I_CAP, C_CAP=self.C_CAP,
+            L_CAP=self.L_CAP,
+            band=mp0.index_chain_band, fl=mp0.fragment_length,
+            pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
+            max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
+            min_anchors=mp0.min_anchors, min_score=mp0.min_score)
+
+    def _host_process(self, group, packed):
+        """Per-batch host stage: unpack, overlap-resolve, emit rank queries."""
         from .. import native
-        from ..chain import compute_switch
+
+        (iv_all, chunk_hi, chunk_ctg, chunk_new, n_chunks_v,
+         _n_anchors, overflow) = self._unpack(packed)
+        batch_q = []
+        batch_recs = []
+        for w, (_t, _a, _b, sw, mp, ri, _qi) in enumerate(group):
+            if overflow[w]:
+                batch_recs.append(None)
+                batch_q.append((np.zeros(0, np.int32),
+                                np.zeros(0, np.int32)))
+                continue
+            m = iv_all["valid"][w].astype(bool)
+            nm = int(m.sum())
+            iv = dict(
+                score=iv_all["score"][w][m].astype(np.float64),
+                num=iv_all["num"][w][m].astype(np.int64),
+                q0=iv_all["q0"][w][m].astype(np.uint32),
+                q1=iv_all["q1"][w][m].astype(np.uint32),
+                r0=iv_all["r0"][w][m].astype(np.uint32),
+                r1=iv_all["r1"][w][m].astype(np.uint32),
+                rc=iv_all["rc"][w][m].astype(np.int64),
+                cid=iv_all["cid"][w][m].astype(np.int64),
+                rev=iv_all["rev"][w][m].astype(np.uint8),
+            )
+            nch = int(n_chunks_v[w])
+            # query contig of each interval = contig of its chunk
+            iv["qc"] = chunk_ctg[w][iv["cid"].astype(np.int64)
+                                    ].astype(np.int64)
+            recs, qc, qv, totals = native.process_intervals_native(
+                iv, nm, chunk_hi[w][:nch].astype(np.int64),
+                chunk_ctg[w][:nch].astype(np.int64),
+                chunk_new[w][:nch].astype(np.uint8), nch,
+                mp.k, int(self.sketches[ri].c), sw,
+                mp.amino_acid, mp.min_length_cover)
+            batch_recs.append((recs, totals))
+            batch_q.append((qc, qv))
+        # pad rank queries to a power-of-2 bucket so _rank_queries reuses
+        # its compiled executable across batches
+        qc_max = max(max((len(q[0]) for q in batch_q), default=0), 128)
+        QC = 1 << _ceil_log2(qc_max)
+        qg = np.zeros((self.R, QC), dtype=np.int32)
+        qv_arr = np.full((self.R, QC), -1, dtype=np.int32)
+        for w, (qc_a, qv_a) in enumerate(batch_q):
+            qg[w, :len(qc_a)] = qc_a
+            qv_arr[w, :len(qv_a)] = qv_a
+        return batch_recs, qg, qv_arr
+
+    def _finalize_batch(self, group, batch_recs, ranks, out):
+        from ..ani import chain_seeds_native, finalize_ani
         from ..gbdt import predict_from_ani_res
+
+        for w, (t, _a, _b, sw, mp, ri, qi) in enumerate(group):
+            ref = self.sketches[ri]
+            q = self.sketches[qi]
+            if batch_recs[w] is None:
+                out[t] = chain_seeds_native(ref, q, mp)
+                continue
+            recs, totals = batch_recs[w]
+            ani_ests = self._finalize_chunks(recs, ranks[w], int(ref.c), mp)
+            tqb, trr, avg_sum, num_chains = totals
+            avg_len = avg_sum // num_chains if num_chains else 0
+            res = finalize_ani(ani_ests, tqb, trr, avg_len, num_chains,
+                               ref, q, mp, avg_already_divided=True)
+            if mp.model is not None:
+                predict_from_ani_res(res, mp.model)
+            out[t] = res
+
+    def run_pairs(self, pairs: List[Tuple[int, int]]):
+        """Score pairs in pipelined batches: phase A for every batch is
+        dispatched up front (device executes asynchronously); the host then
+        streams through batches, overlapping interval resolution of batch k
+        with device execution of batch k+1 and rank queries of batch k-1."""
+        from ..ani import AniEstResult
+        from ..params import map_params_from_sketch
+        from ..chain import compute_switch
 
         out = [None] * len(pairs)
         meta = []
@@ -430,87 +559,23 @@ class DevicePairEngine:
             meta.append((t, ri if sw else qi, qi if sw else ri, sw, mp,
                          ri, qi))
 
-        for lo in range(0, len(meta), self.R):
-            group = meta[lo:lo + self.R]
-            a_idx = np.zeros(self.R, dtype=np.int32)
-            b_idx = np.zeros(self.R, dtype=np.int32)
-            for w, (_t, a, b, _sw, _mp, _ri, _qi) in enumerate(group):
-                a_idx[w] = a
-                b_idx[w] = b
-            mp0 = group[0][4]
-            packed_d, (qpa_c, qpa_p) = phase_a(
-                self.db.kmers, self.db.starts, self.db.counts, self.db.pos,
-                self.db.ctg, self.db.canon, self.db.pos_kid,
-                jnp.asarray(a_idx), jnp.asarray(b_idx),
-                A=self.A, I_CAP=self.I_CAP, C_CAP=self.C_CAP,
-                L_CAP=self.L_CAP,
-                band=mp0.index_chain_band, fl=mp0.fragment_length,
-                pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
-                max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
-                min_anchors=mp0.min_anchors, min_score=mp0.min_score)
-            packed = np.asarray(packed_d)
-            (iv_all, chunk_hi, chunk_ctg, chunk_new, n_chunks_v,
-             _n_anchors, overflow) = self._unpack(packed)
+        groups = [meta[lo:lo + self.R] for lo in range(0, len(meta), self.R)]
+        disp = [self._dispatch_phase_a(g, g[0][4]) for g in groups]
 
-            batch_q = []
-            batch_recs = []
-            for w, (_t, _a, _b, sw, mp, ri, _qi) in enumerate(group):
-                if overflow[w]:
-                    batch_recs.append(None)
-                    batch_q.append((np.zeros(0, np.int32),
-                                    np.zeros(0, np.int32)))
-                    continue
-                m = iv_all["valid"][w].astype(bool)
-                iv = dict(
-                    score=iv_all["score"][w][m].astype(np.float64),
-                    num=iv_all["num"][w][m].astype(np.int64),
-                    q0=iv_all["q0"][w][m].astype(np.uint32),
-                    q1=iv_all["q1"][w][m].astype(np.uint32),
-                    r0=iv_all["r0"][w][m].astype(np.uint32),
-                    r1=iv_all["r1"][w][m].astype(np.uint32),
-                    rc=iv_all["rc"][w][m].astype(np.int64),
-                    qc=np.zeros(int(m.sum()), dtype=np.int64),
-                    cid=iv_all["cid"][w][m].astype(np.int64),
-                    rev=iv_all["rev"][w][m].astype(np.uint8),
-                )
-                nch = int(n_chunks_v[w])
-                # query contig of each interval = contig of its chunk
-                iv["qc"] = chunk_ctg[w][iv["cid"].astype(np.int64)
-                                        ].astype(np.int64)
-                recs, qc, qv, totals = native.process_intervals_native(
-                    iv, int(m.sum()), chunk_hi[w][:nch].astype(np.int64),
-                    chunk_ctg[w][:nch].astype(np.int64),
-                    chunk_new[w][:nch].astype(np.uint8), nch,
-                    mp.k, int(self.sketches[ri].c), sw,
-                    mp.amino_acid, mp.min_length_cover)
-                batch_recs.append((recs, totals))
-                batch_q.append((qc, qv))
-
-            QC = max(max((len(q[0]) for q in batch_q), default=0), 1)
-            qg = np.zeros((self.R, QC), dtype=np.int32)
-            qv_arr = np.full((self.R, QC), -1, dtype=np.int32)
-            for w, (qc_a, qv_a) in enumerate(batch_q):
-                qg[w, :len(qc_a)] = qc_a
-                qv_arr[w, :len(qv_a)] = qv_a
-            ranks = np.asarray(_rank_queries(qpa_c, qpa_p, jnp.asarray(qg),
-                                             jnp.asarray(qv_arr)))
-
-            for w, (t, _a, _b, sw, mp, ri, qi) in enumerate(group):
-                ref = self.sketches[ri]
-                q = self.sketches[qi]
-                if batch_recs[w] is None:
-                    out[t] = chain_seeds_native(ref, q, mp)
-                    continue
-                recs, totals = batch_recs[w]
-                ani_ests = self._finalize_chunks(recs, ranks[w],
-                                                 int(ref.c), mp)
-                tqb, trr, avg_sum, num_chains = totals
-                avg_len = avg_sum // num_chains if num_chains else 0
-                res = finalize_ani(ani_ests, tqb, trr, avg_len, num_chains,
-                                   ref, q, mp, avg_already_divided=True)
-                if mp.model is not None:
-                    predict_from_ani_res(res, mp.model)
-                out[t] = res
+        pending = None  # (group, batch_recs, ranks_device)
+        for g_i, group in enumerate(groups):
+            packed = np.asarray(disp[g_i][0])
+            qpa_c, qpa_p = disp[g_i][1]
+            batch_recs, qg, qv_arr = self._host_process(group, packed)
+            ranks_d = _rank_queries(qpa_c, qpa_p, jnp.asarray(qg),
+                                    jnp.asarray(qv_arr))
+            if pending is not None:
+                pg, precs, prd = pending
+                self._finalize_batch(pg, precs, np.asarray(prd), out)
+            pending = (group, batch_recs, ranks_d)
+        if pending is not None:
+            pg, precs, prd = pending
+            self._finalize_batch(pg, precs, np.asarray(prd), out)
         return out
 
     @staticmethod
