@@ -62,6 +62,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ..params import D_MAX_LIN_LENGTH, MapParams
 from .device_db import CTG_SENTINEL, DeviceDb
+from .dp_pallas import dp_chain
 
 I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
@@ -89,13 +90,14 @@ def _row_gather(mat, idx):
 @functools.partial(
     jax.jit,
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
-                     "max_gap", "anchor_score", "min_anchors", "min_score"))
+                     "max_gap", "anchor_score", "min_anchors", "min_score",
+                     "use_pallas"))
 def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
             db_pos_kid,
             a_idx, b_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
-            min_score: float):
+            min_score: float, use_pallas: bool = False):
     R = a_idx.shape[0]
     K = db_kmers.shape[1]
     P = db_pos.shape[1]
@@ -146,10 +148,24 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
         rowi, jnp.where(emit, offs, A)].max(kcols, mode="drop")
     g = jnp.clip(jax.lax.cummax(g, axis=1), 0, K - 1)
     anchor_valid = slots < jnp.minimum(total, A)[:, None]
-    rank = slots - _row_gather(offs, g)
-    bc = jnp.maximum(_row_gather(b_cnt_hit, g), 1)
-    arow = jnp.clip(_row_gather(a_start, g) + rank // bc, 0, P - 1)
-    brow = jnp.clip(_row_gather(b_start_hit, g) + rank % bc, 0, P - 1)
+    # fuse the per-kmer lookups into as few (R, A) gathers as possible:
+    # (offset, count) pack into one int32; (a_start, b_start) pack when the
+    # position table is small enough (16+16 bits)
+    assert band < 4096
+    pk_oc = (jnp.minimum(offs, A) << 12) | jnp.minimum(b_cnt_hit, 4095)
+    oc = _row_gather(pk_oc, g)
+    rank = slots - (oc >> 12)
+    bc = jnp.maximum(oc & 4095, 1)
+    if P <= 65536:
+        pk_ab = (a_start << 16) | b_start_hit
+        ab = _row_gather(pk_ab, g)
+        a_start_g = (ab >> 16) & 0xFFFF
+        b_start_g = ab & 0xFFFF
+    else:
+        a_start_g = _row_gather(a_start, g)
+        b_start_g = _row_gather(b_start_hit, g)
+    arow = jnp.clip(a_start_g + rank // bc, 0, P - 1)
+    brow = jnp.clip(b_start_g + rank % bc, 0, P - 1)
 
     pos_b = db_pos[b_idx]
     ctgc_b = db_ctgc[b_idx]
@@ -231,141 +247,93 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     flat_col = jnp.clip(col_in_chunk, 0, L_CAP - 1).reshape(-1)
     keep = ok_place.reshape(-1)
     flat_row = jnp.where(keep, flat_row, RC)
-    dest = flat_row * L_CAP + flat_col          # compact -> padded index
 
-    def scatter(vals, fill):
-        buf = jnp.full((RC + 1, L_CAP), fill, vals.dtype)
-        return buf.at[flat_row, flat_col].set(vals.reshape(-1),
-                                              mode="drop")[:RC]
+    # TRANSPOSED padded layout (L_CAP, RC): the DP walks the anchor index
+    # (major dim) sequentially, vectorized over chunk rows (lanes)
+    def scatter_t(vals, fill):
+        buf = jnp.full((L_CAP, RC + 1), fill, vals.dtype)
+        return buf.at[flat_col, flat_row].set(vals.reshape(-1),
+                                              mode="drop")[:, :RC]
 
-    gqp = scatter(qp, I32MAX)
-    grp = scatter(rp, I32MAX)
+    gqp = scatter_t(qp, I32MAX)
+    grp = scatter_t(rp, I32MAX)
     # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
-    grcv = scatter(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
-    grc = jnp.where(grcv != 0, grcv >> 2, -2)
-    grev = ((grcv >> 1) & 1).astype(bool)
-    gval = (grcv & 1).astype(bool)
+    grcv = scatter_t(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
 
     # --- banded chaining DP (reference: src/chain.rs:838-896) ---
-    # The scan also PROPAGATES each anchor's chain root (as its padded
-    # column) and depth (hops from the root) through the band ring buffer,
-    # which makes the post-DP pointer-chasing of V2 unnecessary.
-    neg = jnp.float32(-3.0e38)
-    U = 8
-    assert L_CAP % U == 0
-    DBITS = _ceil_log2(L_CAP + 1)
-    assert anchor_score == float(int(anchor_score))  # integer DP scores
-
-    def dp_one(carry, x):
-        dp_w, qp_w, rp_w, rc_w, rev_w, val_w, root_w, dep_w, i = carry
-        qp_i, rp_i, rc_i, rev_i, val_i = x
-        d_q = (qp_i[:, None] - qp_w).astype(jnp.float32)
-        d_r_f = (rp_i[:, None] - rp_w).astype(jnp.float32)
-        d_r = jnp.where(rev_i[:, None], -d_r_f, d_r_f)
-        gap = jnp.abs(d_r - d_q)
-        ok = rc_i[:, None] == rc_w
-        ok &= d_q <= pcl
-        ok &= rev_i[:, None] == rev_w
-        ok &= (rp_i[:, None] != rp_w) & (d_q != 0)
-        ok &= (d_q <= D_MAX_LIN_LENGTH) & (d_r <= D_MAX_LIN_LENGTH)
-        ok &= d_r > 0
-        ok &= gap <= max_gap
-        ok &= val_w & val_i[:, None]
-        ok &= (i - 1 - jnp.arange(band) >= 0)[None, :]
-        cand = jnp.where(ok, anchor_score - gap + dp_w, neg)
-        best_w = jnp.argmax(cand, axis=1)
-        pick = lambda w: jnp.take_along_axis(w, best_w[:, None], axis=1)[:, 0]
-        best_val = pick(cand)
-        take = best_val > 0.0
-        dp_i = jnp.where(take, best_val, 0.0).astype(jnp.float32)
-        root_i = jnp.where(take, pick(root_w), i).astype(jnp.int32)
-        dep_i = jnp.where(take, pick(dep_w) + 1, 0).astype(jnp.int32)
-
-        def shift(w, new):
-            return jnp.concatenate([new[:, None], w[:, :-1]], axis=1)
-
-        carry = (shift(dp_w, dp_i), shift(qp_w, qp_i), shift(rp_w, rp_i),
-                 shift(rc_w, rc_i), shift(rev_w, rev_i),
-                 shift(val_w, val_i), shift(root_w, root_i),
-                 shift(dep_w, dep_i), i + 1)
-        # pack (score, depth) into one int32 output
-        dd_i = (dp_i.astype(jnp.int32) << DBITS) | dep_i
-        return carry, (dd_i, root_i)
-
-    def dp_step(carry, xs):
-        outs = []
-        for uu in range(U):
-            carry, o = dp_one(carry, tuple(x[uu] for x in xs))
-            outs.append(o)
-        return carry, (jnp.stack([o[0] for o in outs]),
-                       jnp.stack([o[1] for o in outs]))
-
-    dinit = (jnp.zeros((RC, band), jnp.float32),
-             jnp.zeros((RC, band), jnp.int32),
-             jnp.zeros((RC, band), jnp.int32),
-             jnp.full((RC, band), -2, jnp.int32),
-             jnp.zeros((RC, band), bool),
-             jnp.zeros((RC, band), bool),
-             jnp.zeros((RC, band), jnp.int32),
-             jnp.zeros((RC, band), jnp.int32),
-             jnp.int32(0))
-    dxs_u = tuple(x.T.reshape(L_CAP // U, U, RC)
-                  for x in (gqp, grp, grc, grev, gval))
-    _, (dd_T, root_T) = jax.lax.scan(dp_step, dinit, dxs_u)
-    dd = dd_T.reshape(L_CAP, RC).T      # (RC, L_CAP) packed score<<DBITS|dep
-    root = root_T.reshape(L_CAP, RC).T  # (RC, L_CAP) padded column of root
+    # Pallas kernel on TPU, lax.scan elsewhere; the scan PROPAGATES each
+    # anchor's chain root (padded anchor index) and depth through the band
+    # ring buffer, which makes V2's post-DP pointer-chasing unnecessary.
+    dd, root = dp_chain(gqp, grp, grcv, band, pcl, max_gap, anchor_score,
+                        use_pallas=use_pallas)
 
     # --- chain extraction in the COMPACT domain (src/chain.rs:939-1007) ---
-    # Bring DP results back to the compact (R, A) anchor layout with flat
-    # gathers, then aggregate per root with input-sized scatters.
-    dest_c = jnp.clip(dest, 0, RC * L_CAP - 1).reshape(R, A)
+    # Bring DP results back to the compact (R, A) anchor layout with two
+    # flat gathers, then aggregate per chain with SORTS (sorts and cum-scans
+    # are far cheaper than scatters/gathers at these shapes).
+    dest = flat_col * RC + jnp.minimum(flat_row, RC - 1)  # compact->padded
+    dest_c = dest.reshape(R, A)
     dd_c = dd.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
     root_pad = root.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
-    # compact column of each padded slot (for root -> compact id mapping)
-    gsrc = scatter(cols, 0)
-    root_flat = jnp.clip((dest_c // L_CAP) * L_CAP + root_pad,
-                         0, RC * L_CAP - 1)
-    root_cid = gsrc.reshape(-1)[root_flat.reshape(-1)].reshape(R, A)
+    # a chunk's anchors occupy CONSECUTIVE compact columns (the anchor sort
+    # orders by (contig, position) and chunk ids are nondecreasing), so the
+    # root's compact column is elementwise arithmetic — no lookup table:
+    root_cid = cols - col_in_chunk + root_pad
 
     valid_c = ok_place
+    DBITS = _ceil_log2(L_CAP + 1)   # matches dp_pallas.dbits(L_CAP)
     dp_c = dd_c >> DBITS
     dep_c = dd_c & ((1 << DBITS) - 1)
     INVBITS = _ceil_log2(A)
-    # per-root best anchor: max score, ties -> smallest column
+    # per-anchor (score, column) key: max -> best score, ties -> smallest col
     key = (dp_c << INVBITS) | (A - 1 - cols)
-    sc_idx = jnp.where(valid_c, root_cid, A)
-    root_best = jnp.full((R, A + 1), -1, jnp.int32).at[
-        rowi, sc_idx].max(key, mode="drop")[:, :A]
-    size = jnp.zeros((R, A + 1), jnp.int32).at[
-        rowi, sc_idx].add(1, mode="drop")[:, :A]
-    rb_here = _row_gather(root_best, jnp.clip(root_cid, 0, A - 1))
-    is_best = valid_c & (key == rb_here)
-    bst_idx = jnp.where(is_best, root_cid, A)
-    qp_best = jnp.zeros((R, A + 1), jnp.int32).at[
-        rowi, bst_idx].max(qp, mode="drop")[:, :A]
-    rp_best = jnp.zeros((R, A + 1), jnp.int32).at[
-        rowi, bst_idx].max(rp, mode="drop")[:, :A]
-    dep_best = jnp.zeros((R, A + 1), jnp.int32).at[
-        rowi, bst_idx].max(dep_c, mode="drop")[:, :A]
 
+    # stream S: anchors sorted by (root, key desc); the first element of
+    # each root group is the chain's best anchor, the group's length is the
+    # chain's anchor count
+    s_root, _s_nk, s_qp, s_rp, s_dep = jax.lax.sort(
+        (jnp.where(valid_c, root_cid, BIG), -key, qp, rp, dep_c),
+        dimension=1, num_keys=2)
+    prev_root = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32),
+                                 s_root[:, :-1]], axis=1)
+    boundary = s_root != prev_root
+    # group sizes: distance from this boundary to the next one
+    nxt = jax.lax.cummin(jnp.where(boundary, cols, BIG)[:, ::-1],
+                         axis=1)[:, ::-1]
+    nxt_after = jnp.concatenate([nxt[:, 1:], jnp.full((R, 1), A, jnp.int32)],
+                                axis=1)
+    size = jnp.minimum(nxt_after, A) - cols
+    first = boundary & (s_root != BIG)
+
+    # stream B: per-chain records (best anchor fields + size), root order
+    b_root, b_qp, b_rp, b_dep, b_size, b_nk = jax.lax.sort(
+        (jnp.where(first, s_root, BIG), s_qp, s_rp, s_dep, size, _s_nk),
+        dimension=1, num_keys=1)
+    # stream C: each chain root's OWN fields, column (== root) order —
+    # aligned 1:1 with stream B (both ascending in the root's column)
     is_root = valid_c & (root_cid == cols)
-    num_anchors = dep_best + 1
-    best_score = root_best >> INVBITS
-    good = (is_root & (size >= min_anchors) & (num_anchors >= min_anchors)
-            & (best_score.astype(jnp.float32) >= min_score))
+    c_col, c_qp, c_rp, c_rc, c_cid, c_rev = jax.lax.sort(
+        (jnp.where(is_root, cols, BIG), qp, rp, rc, cid,
+         rev.astype(jnp.int32)),
+        dimension=1, num_keys=1)
 
-    iq0 = qp
-    iq1 = qp_best
-    ir0 = jnp.minimum(rp, rp_best)
-    ir1 = jnp.maximum(rp, rp_best)
+    best_score = (-b_nk) >> INVBITS
+    num_anchors = b_dep + 1
+    good = ((b_root != BIG) & (b_size >= min_anchors)
+            & (num_anchors >= min_anchors)
+            & (best_score.astype(jnp.float32) >= min_score))
+    iq0 = c_qp
+    iq1 = b_qp
+    ir0 = jnp.minimum(c_rp, b_rp)
+    ir1 = jnp.maximum(c_rp, b_rp)
     overflow |= jnp.sum(good, axis=1) > I_CAP
 
     # --- compact intervals per PAIR and pack everything into one i32 ---
-    sort_key = jnp.where(good, cols, BIG)
+    sort_key = jnp.where(good, c_col, BIG)
     (_, sgood, sscore, snum, sq0, sq1, sr0, sr1, src_, scid, srev
      ) = jax.lax.sort(
         (sort_key, good.astype(jnp.int32), best_score, num_anchors,
-         iq0, iq1, ir0, ir1, rc, cid, rev.astype(jnp.int32)),
+         iq0, iq1, ir0, ir1, c_rc, c_cid, c_rev),
         dimension=1, num_keys=1)
     iv_block = jnp.concatenate(
         [x[:, :I_CAP] for x in (sgood, sscore, snum, sq0, sq1, sr0, sr1,
@@ -423,7 +391,7 @@ class DevicePairEngine:
         self.command_params = command_params
         self.model = model
         self.R = batch
-        a = int(1.5 * self.db.max_n_pos)
+        a = int(1.25 * self.db.max_n_pos)
         self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 17)
         self.I_CAP = i_cap
         self.C_CAP = c_cap
@@ -462,7 +430,8 @@ class DevicePairEngine:
             band=mp0.index_chain_band, fl=mp0.fragment_length,
             pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
             max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
-            min_anchors=mp0.min_anchors, min_score=mp0.min_score)
+            min_anchors=mp0.min_anchors, min_score=mp0.min_score,
+            use_pallas=jax.default_backend() == "tpu")
 
     def _host_process(self, group, packed):
         """Per-batch host stage: unpack, overlap-resolve, emit rank queries."""

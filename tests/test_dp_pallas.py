@@ -1,0 +1,59 @@
+"""Pallas chaining-DP kernel vs the lax.scan reference implementation.
+
+The analog of skani's AVX2-vs-scalar seeding equivalence test
+(reference: tests/tests.rs:130-144): every acceleration path must produce
+bit-identical output.  The Pallas kernel runs in interpreter mode here
+(no TPU in CI); on hardware the same kernel is selected by phase_a.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from skani_tpu.kernels.dp_pallas import _dp_pallas, _dp_scan
+
+
+def _random_rows(rng, L, RC, n_contigs=2, p_valid=0.85):
+    qp = np.sort(rng.integers(0, 6000, (L, RC)), axis=0).astype(np.int32)
+    rp = rng.integers(0, 6000, (L, RC)).astype(np.int32)
+    rc = rng.integers(0, n_contigs, (L, RC)).astype(np.int32)
+    rev = rng.integers(0, 2, (L, RC)).astype(np.int32)
+    val = (rng.random((L, RC)) < p_valid).astype(np.int32)
+    # invalid slots look like padding (I32MAX positions)
+    I32MAX = np.int32(2 ** 31 - 1)
+    qp = np.where(val == 1, qp, I32MAX)
+    rp = np.where(val == 1, rp, I32MAX)
+    rcv = np.where(val == 1, rc * 4 + rev * 2 + 1, 0).astype(np.int32)
+    return qp, rp, rcv
+
+
+@pytest.mark.parametrize("band,pcl,max_gap", [(20, 2500, 300), (5, 100, 50)])
+def test_pallas_dp_matches_scan(band, pcl, max_gap):
+    rng = np.random.default_rng(42)
+    L, RC = 64, 256
+    qp, rp, rcv = _random_rows(rng, L, RC)
+    dd_s, root_s = _dp_scan(qp, rp, rcv, band, pcl, max_gap, 20, unroll=8)
+    dd_p, root_p = _dp_pallas(qp, rp, rcv, band, pcl, max_gap, 20,
+                              rc_block=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(dd_s), np.asarray(dd_p))
+    np.testing.assert_array_equal(np.asarray(root_s), np.asarray(root_p))
+
+
+def test_scan_dp_chains_elementary():
+    """Three colinear anchors chain with score 2*anchor_score and the root
+    column propagates (reference: src/chain.rs:557-603 scoring)."""
+    L, RC = 8, 128
+    I32MAX = np.int32(2 ** 31 - 1)
+    qp = np.full((L, RC), I32MAX, np.int32)
+    rp = np.full((L, RC), I32MAX, np.int32)
+    rcv = np.zeros((L, RC), np.int32)
+    qp[:3, 0] = [100, 200, 300]
+    rp[:3, 0] = [1100, 1200, 1300]
+    rcv[:3, 0] = 1  # contig 0, forward, valid
+    dd, root = _dp_scan(qp, rp, rcv, 20, 2500, 300, 20, unroll=8)
+    dd = np.asarray(dd)
+    root = np.asarray(root)
+    DBITS = 4  # ceil(log2(8+1))
+    assert dd[1, 0] >> DBITS == 20 and dd[2, 0] >> DBITS == 40
+    assert (dd[1, 0] & 15, dd[2, 0] & 15) == (1, 2)  # depths
+    assert root[0, 0] == 0 and root[1, 0] == 0 and root[2, 0] == 0
