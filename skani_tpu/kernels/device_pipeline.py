@@ -503,17 +503,44 @@ class DevicePairEngine:
                 predict_from_ani_res(res, mp.model)
             out[t] = res
 
+    @staticmethod
+    def _mirror_result(res):
+        """The (ref, query) -> (query, ref) mirror of a result.  chain_seeds
+        canonicalizes the pair internally (switch_qr, reference:
+        src/chain.rs:15-26), so the reverse-direction result is exactly the
+        field-swapped copy (validated against the native path)."""
+        import copy
+        m = copy.copy(res)
+        m.align_fraction_query, m.align_fraction_ref = \
+            res.align_fraction_ref, res.align_fraction_query
+        m.ref_file, m.query_file = res.query_file, res.ref_file
+        m.ref_contig, m.query_contig = res.query_contig, res.ref_contig
+        m.quant_90_contig_len_q, m.quant_90_contig_len_r = \
+            res.quant_90_contig_len_r, res.quant_90_contig_len_q
+        m.quant_50_contig_len_q, m.quant_50_contig_len_r = \
+            res.quant_50_contig_len_r, res.quant_50_contig_len_q
+        m.quant_10_contig_len_q, m.quant_10_contig_len_r = \
+            res.quant_10_contig_len_r, res.quant_10_contig_len_q
+        m.num_contigs_q, m.num_contigs_r = \
+            res.num_contigs_r, res.num_contigs_q
+        return m
+
     def run_pairs(self, pairs: List[Tuple[int, int]]):
         """Score pairs in pipelined batches: phase A for every batch is
         dispatched up front (device executes asynchronously); the host then
         streams through batches, overlapping interval resolution of batch k
-        with device execution of batch k+1 and rank queries of batch k-1."""
+        with device execution of batch k+1 and rank queries of batch k-1.
+
+        Ordered duplicates of the same unordered pair are computed once and
+        mirrored (the estimator is orientation-invariant by construction)."""
         from ..ani import AniEstResult
         from ..params import map_params_from_sketch
         from ..chain import compute_switch
 
         out = [None] * len(pairs)
         meta = []
+        seen = {}      # (ri, qi) -> output slot of the first occurrence
+        mirrors = []   # (t, source slot)
         for t, (ri, qi) in enumerate(pairs):
             ref = self.sketches[ri]
             q = self.sketches[qi]
@@ -524,6 +551,11 @@ class DevicePairEngine:
                 r.ani = float("nan")
                 out[t] = r
                 continue
+            if (qi, ri) in seen:
+                mirrors.append((t, seen[(qi, ri)]))
+                continue
+            if (ri, qi) not in seen:
+                seen[(ri, qi)] = t
             sw = compute_switch(ref, q)
             meta.append((t, ri if sw else qi, qi if sw else ri, sw, mp,
                          ri, qi))
@@ -545,6 +577,8 @@ class DevicePairEngine:
         if pending is not None:
             pg, precs, prd = pending
             self._finalize_batch(pg, precs, np.asarray(prd), out)
+        for t, src in mirrors:
+            out[t] = self._mirror_result(out[src])
         return out
 
     @staticmethod
