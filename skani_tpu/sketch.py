@@ -181,10 +181,20 @@ def _finalize_sketch(sk: Sketch, kmers_parts, pos_parts, canon_parts,
 
 def default_seeder(params: Optional[SketchParams] = None):
     """Fastest available bit-exact seeding kernel (native C++ if built,
-    else the NumPy reference); AA path for use_aa."""
+    else the NumPy reference); AA path for use_aa.
+
+    SKANI_TPU_SEEDER=tpu selects the batched device kernel
+    (kernels/seeding_tpu.py) — the right choice when the accelerator is
+    locally attached; over a slow tunneled link the host kernel wins
+    because raw sequence transfer dominates.
+    """
     if params is not None and params.use_aa:
         from .aa import fmh_seeds_aa_np
         return fmh_seeds_aa_np
+    import os
+    if os.environ.get("SKANI_TPU_SEEDER") == "tpu":
+        from .kernels.seeding_tpu import fmh_seeds_tpu
+        return fmh_seeds_tpu
     try:
         from . import native
         if native.available():
