@@ -384,9 +384,11 @@ class DevicePairEngine:
 
     def __init__(self, sketches: Sequence, sketch_params, command_params,
                  model=None, batch: int = 32,
-                 i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768):
+                 i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768,
+                 device=None):
         self.sketches = list(sketches)
-        self.db = DeviceDb(self.sketches)
+        self.device = device
+        self.db = DeviceDb(self.sketches, device=device)
         self.sketch_params = sketch_params
         self.command_params = command_params
         self.model = model
@@ -421,17 +423,19 @@ class DevicePairEngine:
         for w, (_t, a, b, _sw, _mp, _ri, _qi) in enumerate(group):
             a_idx[w] = a
             b_idx[w] = b
+        dev = self.device or jax.devices()[0]
+        put = lambda x: jax.device_put(jnp.asarray(x), dev)
         return phase_a(
             self.db.kmers, self.db.starts, self.db.counts, self.db.pos,
             self.db.ctgc, self.db.pos_kid,
-            jnp.asarray(a_idx), jnp.asarray(b_idx),
+            put(a_idx), put(b_idx),
             A=self.A, I_CAP=self.I_CAP, C_CAP=self.C_CAP,
             L_CAP=self.L_CAP,
             band=mp0.index_chain_band, fl=mp0.fragment_length,
             pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
             max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
             min_anchors=mp0.min_anchors, min_score=mp0.min_score,
-            use_pallas=jax.default_backend() == "tpu")
+            use_pallas=dev.platform == "tpu")
 
     def _host_process(self, group, packed):
         """Per-batch host stage: unpack, overlap-resolve, emit rank queries."""
@@ -568,8 +572,10 @@ class DevicePairEngine:
             packed = np.asarray(disp[g_i][0])
             qpa_c, qpa_p = disp[g_i][1]
             batch_recs, qg, qv_arr = self._host_process(group, packed)
-            ranks_d = _rank_queries(qpa_c, qpa_p, jnp.asarray(qg),
-                                    jnp.asarray(qv_arr))
+            dev = self.device or jax.devices()[0]
+            ranks_d = _rank_queries(qpa_c, qpa_p,
+                                    jax.device_put(jnp.asarray(qg), dev),
+                                    jax.device_put(jnp.asarray(qv_arr), dev))
             if pending is not None:
                 pg, precs, prd = pending
                 self._finalize_batch(pg, precs, np.asarray(prd), out)

@@ -16,7 +16,26 @@ _engine_cache = {}
 
 def tpu_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
                       command_params, model) -> List[AniEstResult]:
+    import jax
+
     from .device_pipeline import DevicePairEngine
+
+    devices = jax.devices()
+    if len(devices) > 1:
+        # multi-device: shard the reference DB across the fleet
+        from ..parallel import ShardedPairFleet
+        same = ref_sketches is query_sketches
+        queries = list(ref_sketches) if same else list(query_sketches)
+        key = ("fleet", id(ref_sketches), id(query_sketches))
+        fleet = _engine_cache.get(key)
+        if fleet is None or fleet.refs != list(ref_sketches) \
+                or fleet.queries != queries:
+            fleet = ShardedPairFleet(list(ref_sketches), queries,
+                                     sketch_params, command_params,
+                                     model=model, devices=devices)
+            _engine_cache.clear()
+            _engine_cache[key] = fleet
+        return fleet.run_pairs(pairs)
 
     same = ref_sketches is query_sketches
     if same:

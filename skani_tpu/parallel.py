@@ -109,6 +109,66 @@ class ShardedMarkerScreen:
         return np.nonzero(counts > cut)[0]
 
 
+class ShardedPairFleet:
+    """The full pair pipeline over a device fleet: reference sketches are
+    sharded by genome (one DevicePairEngine + DeviceDb slice per device),
+    queries are replicated, and each pair is scored on the device that owns
+    its reference.  Engines run concurrently from host threads (JAX dispatch
+    is asynchronous; threads only block on per-batch readbacks).
+
+    This is the production layout for `search` against a large DB on a pod
+    slice: markers (ShardedMarkerScreen) prefilter with collectives; the
+    surviving (query, ref) pairs route here.  Works on a virtual CPU mesh
+    for testing.
+    """
+
+    def __init__(self, ref_sketches: Sequence, query_sketches: Sequence,
+                 sketch_params, command_params, model=None,
+                 devices: Optional[list] = None, batch: int = 32):
+        devices = devices if devices is not None else jax.devices()
+        self.n_dev = len(devices)
+        self.refs = list(ref_sketches)
+        self.queries = list(query_sketches)
+        nq = len(self.queries)
+        self.owner = []          # ref global idx -> (device slot, local idx)
+        shard_refs = [[] for _ in range(self.n_dev)]
+        for g, s in enumerate(self.refs):
+            d = g % self.n_dev
+            self.owner.append((d, len(shard_refs[d])))
+            shard_refs[d].append(s)
+        from .kernels.device_pipeline import DevicePairEngine
+        self.engines = []
+        for d in range(self.n_dev):
+            local = shard_refs[d] + self.queries
+            self.engines.append(DevicePairEngine(
+                local, sketch_params, command_params, model=model,
+                batch=batch, device=devices[d]))
+        self.n_local_refs = [len(s) for s in shard_refs]
+
+    def run_pairs(self, pairs):
+        """pairs: (ref_global, query_global) index pairs; returns results in
+        input order."""
+        import concurrent.futures as cf
+
+        per_dev = [[] for _ in range(self.n_dev)]
+        for t, (rg, qg) in enumerate(pairs):
+            d, lr = self.owner[rg]
+            per_dev[d].append((t, lr, self.n_local_refs[d] + qg))
+        out = [None] * len(pairs)
+
+        def run(d):
+            work = per_dev[d]
+            if not work:
+                return
+            res = self.engines[d].run_pairs([(lr, lq) for _t, lr, lq in work])
+            for (t, _lr, _lq), r in zip(work, res):
+                out[t] = r
+
+        with cf.ThreadPoolExecutor(max_workers=self.n_dev) as ex:
+            list(ex.map(run, range(self.n_dev)))
+        return out
+
+
 @functools.lru_cache(maxsize=4)
 def _sharded_counts(mesh):
     @functools.partial(jax.shard_map, mesh=mesh,

@@ -45,3 +45,50 @@ def test_sharded_screen_matches_host():
     r = subprocess.run([sys.executable, "-c", SCRIPT % REPO],
                        capture_output=True, text=True, env=env, timeout=300)
     assert "SHARDED_OK" in r.stdout, r.stdout + r.stderr
+
+
+FLEET_SCRIPT = r"""
+import numpy as np
+import sys
+sys.path.insert(0, %r)
+from skani_tpu import CommandParams, SketchParams
+from skani_tpu.sketch import sketch_file
+from skani_tpu.parallel import ShardedPairFleet
+from skani_tpu.ani import chain_seeds_native
+from skani_tpu.params import map_params_from_sketch
+import jax
+assert len(jax.devices()) == 8
+
+sp = SketchParams()
+files = ["/root/reference/test_files/o157_plasmid.fasta",
+         "/root/reference/test_files/viruses.fna",
+         "/root/reference/test_files/e.coli-W.fasta.gz"]
+refs = [sketch_file(f, sp) for f in files] * 3   # 9 refs over 8 devices
+queries = [sketch_file(files[2], sp), sketch_file(files[0], sp)]
+cp = CommandParams()
+fleet = ShardedPairFleet(refs, queries, sp, cp)
+pairs = [(rg, qg) for rg in range(len(refs)) for qg in range(len(queries))]
+res = fleet.run_pairs(pairs)
+bad = 0
+for (rg, qg), a in zip(pairs, res):
+    mp = map_params_from_sketch(refs[rg], False, cp, None)
+    b = chain_seeds_native(refs[rg], queries[qg], mp)
+    eq = (np.isnan(a.ani) and np.isnan(b.ani)) or (
+        a.ani == b.ani and a.align_fraction_query == b.align_fraction_query
+        and a.align_fraction_ref == b.align_fraction_ref)
+    if not eq:
+        bad += 1
+        print("MISMATCH", rg, qg, a.ani, b.ani)
+assert bad == 0, bad
+print("FLEET_OK")
+"""
+
+
+def test_sharded_pair_fleet_matches_native():
+    env = dict(os.environ, PYTHONPATH=REPO,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-c", FLEET_SCRIPT % REPO],
+                       capture_output=True, text=True, env=env, timeout=600)
+    assert "FLEET_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
