@@ -355,7 +355,11 @@ def parse_args_to_params(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     _setup_logging(args)
+    # reference: src/main.rs:25-32 (invocation logged, truncated to 250)
+    log.info("skani-tpu %s", " ".join(argv if argv is not None
+                                      else sys.argv[1:])[:250])
     sp, cp = parse_args_to_params(args)
+    cp.threads = max(int(args.threads), 1)
     from . import engine
     if cp.mode == Mode.SKETCH:
         engine.sketch(cp, sp)

@@ -44,7 +44,7 @@ def _resolve_screen_val(command_params: CommandParams,
 
 
 def _load_side(files: List[str], are_sketch: bool, individual: bool,
-               sketch_params: SketchParams, seeder=None):
+               sketch_params: SketchParams, seeder=None, threads: int = 1):
     """Load genomes or sketch files for one side of a comparison.
     Returns (sketch_params, sketches)."""
     if are_sketch:
@@ -54,19 +54,29 @@ def _load_side(files: List[str], are_sketch: bool, individual: bool,
         return sketch_params, fastx_to_multiple_sketch_rewrite(
             files, sketch_params, True, seeder=seeder, warn=log.warning)
     return sketch_params, fastx_to_sketches(
-        files, sketch_params, True, seeder=seeder, warn=log.warning)
+        files, sketch_params, True, seeder=seeder, warn=log.warning,
+        threads=threads)
 
 
 def _default_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
                            command_params, model):
-    """Sequential host path: one chain_seeds call per (ref_idx, query_idx)."""
-    out = []
-    for ri, qi in pairs:
+    """Host path: one chain_seeds call per (ref_idx, query_idx), fanned out
+    over `-t` threads (the reference's rayon pair loop,
+    reference: src/dist.rs:98-143).  The native C++ core releases the GIL
+    during each call, so threads scale across cores."""
+    def one(pair):
+        ri, qi = pair
         ref = ref_sketches[ri]
         mp = map_params_from_sketch(ref, sketch_params.use_aa,
                                     command_params, model)
-        out.append(chain_seeds(ref, query_sketches[qi], mp))
-    return out
+        return chain_seeds(ref, query_sketches[qi], mp)
+
+    threads = getattr(command_params, "threads", 1)
+    if threads > 1 and len(pairs) > 8:
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+            return list(ex.map(one, pairs))
+    return [one(p) for p in pairs]
 
 
 def get_pair_executor():
@@ -92,14 +102,16 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
     executor = executor or get_pair_executor()
     new_params, ref_sketches = _load_side(
         command_params.ref_files, command_params.refs_are_sketch,
-        command_params.individual_contig_r, sketch_params)
+        command_params.individual_contig_r, sketch_params,
+        threads=command_params.threads)
     if command_params.refs_are_sketch and new_params != sketch_params:
         log.warning("Parameters from .sketch files not equal to the input "
                     "parameters. Using parameters from .sketch files.")
         sketch_params = new_params
     q_params, query_sketches = _load_side(
         command_params.query_files, command_params.queries_are_sketch,
-        command_params.individual_contig_q, sketch_params)
+        command_params.individual_contig_q, sketch_params,
+        threads=command_params.threads)
     if command_params.queries_are_sketch and q_params != sketch_params:
         if command_params.refs_are_sketch:
             raise SystemExit("Query sketch parameters were not equal to "
@@ -170,7 +182,8 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
     executor = executor or get_pair_executor()
     new_params, ref_sketches = _load_side(
         command_params.ref_files, command_params.refs_are_sketch,
-        command_params.individual_contig_r, sketch_params)
+        command_params.individual_contig_r, sketch_params,
+        threads=command_params.threads)
     if command_params.refs_are_sketch:
         if (new_params.c != sketch_params.c
                 or new_params.marker_c != sketch_params.marker_c):

@@ -143,6 +143,7 @@ class CommandParams:
     rescue_small: bool = True
     separate_sketches: bool = False
     short_header: bool = False
+    threads: int = 3                 # reference: src/cli.rs:41-42 (-t)
 
 
 @dataclasses.dataclass

@@ -278,11 +278,21 @@ def sketch_file_individual(path: str, params: SketchParams, seed: bool = True,
 
 def fastx_to_sketches(paths: List[str], params: SketchParams,
                       seed: bool = True, seeder=None,
-                      warn=None) -> List[Sketch]:
-    """reference: src/file_io.rs:141-252 (sorted by (file_name, contig_order))."""
+                      warn=None, threads: int = 1) -> List[Sketch]:
+    """reference: src/file_io.rs:141-252 (rayon-parallel over files, then
+    sorted by (file_name, contig_order) for determinism).  The native C++
+    seeding kernel releases the GIL, so `threads` scales across cores."""
+    if threads > 1 and len(paths) > 1:
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+            sks = list(ex.map(
+                lambda p: sketch_file(p, params, seed=seed, seeder=seeder),
+                paths))
+    else:
+        sks = [sketch_file(p, params, seed=seed, seeder=seeder)
+               for p in paths]
     out = []
-    for p in paths:
-        sk = sketch_file(p, params, seed=seed, seeder=seeder)
+    for p, sk in zip(paths, sks):
         if sk is None:
             if warn:
                 warn(f"{p} is not a valid fasta/fastq file or has only "
