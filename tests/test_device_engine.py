@@ -1,0 +1,71 @@
+"""Device pair engine vs the native host path: bit-exactness across modes.
+
+Runs on CPU (the lax.scan DP fallback); the Pallas kernel is covered by
+test_dp_pallas.py in interpret mode and has its own scan-equivalence
+contract.  Fixtures are the small genomes (plasmid + viruses) so the padded
+device shapes stay modest.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from skani_tpu import CommandParams, SketchParams
+from skani_tpu.ani import chain_seeds_native
+from skani_tpu.kernels.device_pipeline import DevicePairEngine
+from skani_tpu.params import map_params_from_sketch
+from skani_tpu.sketch import sketch_file
+
+FILES = ["/root/reference/test_files/o157_plasmid.fasta",
+         "/root/reference/test_files/viruses.fna"]
+
+
+def _check(sketches, sp, cp, use_aa=False):
+    eng = DevicePairEngine(sketches, sp, cp)
+    n = len(sketches)
+    pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+    res = eng.run_pairs(pairs)
+    for (i, j), a in zip(pairs, res):
+        mp = map_params_from_sketch(sketches[i], use_aa, cp, None)
+        b = chain_seeds_native(sketches[i], sketches[j], mp)
+        if np.isnan(a.ani) and np.isnan(b.ani):
+            continue
+        assert a.ani == b.ani, (i, j, a.ani, b.ani)
+        assert a.align_fraction_query == b.align_fraction_query
+        assert a.align_fraction_ref == b.align_fraction_ref
+        assert a.ci_lower == b.ci_lower and a.ci_upper == b.ci_upper
+
+
+def test_device_engine_default_params():
+    sp = SketchParams()
+    sks = [s for s in (sketch_file(f, sp) for f in FILES) if s is not None]
+    _check(sks, sp, CommandParams())
+
+
+def test_device_engine_slow_preset():
+    """c=30 changes the repeat band (2500/c) and anchor densities."""
+    sp = SketchParams(c=30, marker_c=200)
+    sks = [s for s in (sketch_file(f, sp) for f in FILES) if s is not None]
+    _check(sks, sp, CommandParams())
+
+
+def test_device_engine_aai_mode():
+    """Amino-acid mode: 6-frame ORFs, k=6/c=15, different chunking."""
+    sp = SketchParams(use_aa=True, c=15, k=6, marker_c=1000)
+    sks = [s for s in (sketch_file(f, sp) for f in FILES) if s is not None]
+    _check(sks, sp, CommandParams(), use_aa=True)
+
+
+def test_device_engine_mirrors_ordered_duplicates():
+    """(i, j) and (j, i) produce exact field-swapped copies."""
+    sp = SketchParams()
+    sks = [s for s in (sketch_file(f, sp) for f in FILES) if s is not None]
+    eng = DevicePairEngine(sks, sp, CommandParams())
+    res = eng.run_pairs([(0, 0), (0, 1), (1, 0)])
+    a, b = res[1], res[2]
+    assert (a.ani == b.ani) or (np.isnan(a.ani) and np.isnan(b.ani))
+    assert a.align_fraction_query == b.align_fraction_ref
+    assert a.align_fraction_ref == b.align_fraction_query
+    assert a.ref_file == b.query_file and a.query_file == b.ref_file
+    self_r = res[0]
+    assert self_r.ani == 1.0
