@@ -329,15 +329,21 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     overflow |= jnp.sum(good, axis=1) > I_CAP
 
     # --- compact intervals per PAIR and pack everything into one i32 ---
+    # score (<=15 bits), anchor count (<=DBITS+1), chunk id, good and rev
+    # bits pack into two payload words for the compaction sort
     sort_key = jnp.where(good, c_col, BIG)
-    (_, sgood, sscore, snum, sq0, sq1, sr0, sr1, src_, scid, srev
-     ) = jax.lax.sort(
-        (sort_key, good.astype(jnp.int32), best_score, num_anchors,
-         iq0, iq1, ir0, ir1, c_rc, c_cid, c_rev),
+    packed_sn = (best_score << (DBITS + 1)) | num_anchors
+    packed_gcr = (c_cid << 2) | (good.astype(jnp.int32) << 1) | c_rev
+    (_, p_sn, p_gcr, sq0, sq1, sr0, sr1, src_) = jax.lax.sort(
+        (sort_key, packed_sn, packed_gcr, iq0, iq1, ir0, ir1, c_rc),
         dimension=1, num_keys=1)
+    p_sn = p_sn[:, :I_CAP]
+    p_gcr = p_gcr[:, :I_CAP]
     iv_block = jnp.concatenate(
-        [x[:, :I_CAP] for x in (sgood, sscore, snum, sq0, sq1, sr0, sr1,
-                                src_, scid, srev)], axis=1)
+        [(p_gcr >> 1) & 1, p_sn >> (DBITS + 1),
+         p_sn & ((1 << (DBITS + 1)) - 1)]
+        + [x[:, :I_CAP] for x in (sq0, sq1, sr0, sr1, src_)]
+        + [p_gcr >> 2, p_gcr & 1], axis=1)
     scalars = jnp.stack([n_chunks,
                          jnp.minimum(total, I32MAX).astype(jnp.int32),
                          overflow.astype(jnp.int32)], axis=1)
