@@ -111,6 +111,7 @@ def _dp_pallas(qp, rp, rcv, band: int, pcl: int, max_gap: int,
                anchor_score: int, rc_block: int = 256,
                interpret: bool = False):
     L, RC = qp.shape
+    rc_block = min(rc_block, RC)
     assert RC % rc_block == 0
     DBITS = dbits(L)
     kern = functools.partial(

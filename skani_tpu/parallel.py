@@ -124,7 +124,8 @@ class ShardedPairFleet:
 
     def __init__(self, ref_sketches: Sequence, query_sketches: Sequence,
                  sketch_params, command_params, model=None,
-                 devices: Optional[list] = None, batch: int = 32):
+                 devices: Optional[list] = None, batch: int = 32,
+                 **engine_kwargs):
         devices = devices if devices is not None else jax.devices()
         self.n_dev = len(devices)
         self.refs = list(ref_sketches)
@@ -142,7 +143,7 @@ class ShardedPairFleet:
             local = shard_refs[d] + self.queries
             self.engines.append(DevicePairEngine(
                 local, sketch_params, command_params, model=model,
-                batch=batch, device=devices[d]))
+                batch=batch, device=devices[d], **engine_kwargs))
         self.n_local_refs = [len(s) for s in shard_refs]
 
     def run_pairs(self, pairs):
