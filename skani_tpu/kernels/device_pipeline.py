@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -535,17 +535,25 @@ class DevicePairEngine:
             res.num_contigs_r, res.num_contigs_q
         return m
 
-    def run_pairs(self, pairs: List[Tuple[int, int]]):
-        """Score pairs in pipelined batches: phase A for every batch is
-        dispatched up front (device executes asynchronously); the host then
-        streams through batches, overlapping interval resolution of batch k
-        with device execution of batch k+1 and rank queries of batch k-1.
+    def run_pairs(self, pairs: List[Tuple[int, int]],
+                  host_workers: Optional[int] = None):
+        """Score pairs in pipelined batches: the device consumes batches of
+        R pairs from the front of the work queue (two batches in flight, so
+        host interval resolution of batch k overlaps device execution of
+        batch k+1); optional HOST WORKER threads steal single pairs from the
+        back of the queue and score them with the native C++ path — both
+        paths are exact, so the dynamic split never changes results.
 
         Ordered duplicates of the same unordered pair are computed once and
         mirrored (the estimator is orientation-invariant by construction)."""
-        from ..ani import AniEstResult
+        import threading
+
+        from ..ani import AniEstResult, chain_seeds_native
         from ..params import map_params_from_sketch
         from ..chain import compute_switch
+
+        if host_workers is None:
+            host_workers = int(os.environ.get("SKANI_TPU_HOST_WORKERS", "1"))
 
         out = [None] * len(pairs)
         meta = []
@@ -570,25 +578,64 @@ class DevicePairEngine:
             meta.append((t, ri if sw else qi, qi if sw else ri, sw, mp,
                          ri, qi))
 
-        groups = [meta[lo:lo + self.R] for lo in range(0, len(meta), self.R)]
-        disp = [self._dispatch_phase_a(g, g[0][4]) for g in groups]
+        lock = threading.Lock()
+        lo_hi = [0, len(meta)]   # [front, back) of the shared work queue
 
-        pending = None  # (group, batch_recs, ranks_device)
-        for g_i, group in enumerate(groups):
-            packed = np.asarray(disp[g_i][0])
-            qpa_c, qpa_p = disp[g_i][1]
+        def take_front(n):
+            with lock:
+                lo = lo_hi[0]
+                hi = min(lo + n, lo_hi[1])
+                lo_hi[0] = hi
+                return meta[lo:hi]
+
+        def take_back():
+            with lock:
+                if lo_hi[0] >= lo_hi[1]:
+                    return None
+                lo_hi[1] -= 1
+                return meta[lo_hi[1]]
+
+        def host_loop():
+            while True:
+                item = take_back()
+                if item is None:
+                    return
+                t, _a, _b, _sw, mp, ri, qi = item
+                out[t] = chain_seeds_native(self.sketches[ri],
+                                            self.sketches[qi], mp)
+
+        def process(entry):
+            group, ph = entry
+            packed = np.asarray(ph[0])
+            qpa_c, qpa_p = ph[1]
             batch_recs, qg, qv_arr = self._host_process(group, packed)
             dev = self.device or jax.devices()[0]
             ranks_d = _rank_queries(qpa_c, qpa_p,
                                     jax.device_put(jnp.asarray(qg), dev),
                                     jax.device_put(jnp.asarray(qv_arr), dev))
-            if pending is not None:
-                pg, precs, prd = pending
-                self._finalize_batch(pg, precs, np.asarray(prd), out)
-            pending = (group, batch_recs, ranks_d)
-        if pending is not None:
-            pg, precs, prd = pending
-            self._finalize_batch(pg, precs, np.asarray(prd), out)
+            self._finalize_batch(group, batch_recs, np.asarray(ranks_d), out)
+
+        workers = []
+        if host_workers > 0 and len(meta) > 2 * self.R:
+            from .. import native
+            if native.available():
+                workers = [threading.Thread(target=host_loop)
+                           for _ in range(host_workers)]
+                for w in workers:
+                    w.start()
+
+        inflight = []
+        while True:
+            group = take_front(self.R)
+            if group:
+                inflight.append((group, self._dispatch_phase_a(group,
+                                                               group[0][4])))
+            if (not group and inflight) or len(inflight) >= 2:
+                process(inflight.pop(0))
+            if not group and not inflight:
+                break
+        for w in workers:
+            w.join()
         for t, src in mirrors:
             out[t] = self._mirror_result(out[src])
         return out
