@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Scale demo: consolidated sketch-DB construction + memory-light search.
+
+Synthesizes a database of N genomes (default 256; BENCH_DB_GENOMES to
+change): one quarter E. coli-W derivatives at 0.5-4%% divergence (the
+query's true neighborhood), the rest shuffled-decoy genomes that marker
+screening must reject.  Then:
+
+  1. builds the consolidated database (sketches.db / index.db /
+     markers.bin — skani's v0.3 format) and reports construction rate;
+  2. searches queries against it, reporting per-query latency and the
+     screening hit rate (only screened-in sketches are lazily loaded from
+     the mmapped database, reference: src/search.rs:146-166).
+
+Usage: python scripts/search_scale_demo.py [out_dir]
+"""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from skani_tpu import CommandParams, SketchParams, engine
+from skani_tpu import fastx
+from skani_tpu.params import Mode
+
+SOURCE = "/root/reference/test_files/e.coli-W.fasta.gz"
+N = int(os.environ.get("BENCH_DB_GENOMES", "256"))
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def synth_genomes(out_dir: str):
+    _name, seq = next(iter(fastx.iter_fastx(SOURCE)))
+    rng = np.random.default_rng(11)
+    paths = []
+    n_rel = N // 4
+    for i in range(N):
+        if i < n_rel:  # related: point mutations off the source
+            s = seq.copy()
+            nmut = int(len(s) * (0.005 + 0.035 * i / max(n_rel - 1, 1)))
+            pos = rng.choice(len(s), size=nmut, replace=False)
+            s[pos] = BASES[rng.integers(0, 4, size=nmut)]
+        else:          # decoy: unrelated (uniform random) sequence
+            s = BASES[rng.integers(0, 4, size=len(seq))]
+        p = os.path.join(out_dir, f"g{i:05d}.fa")
+        with open(p, "wb") as f:
+            f.write(b">g%d\n" % i + s.tobytes() + b"\n")
+        paths.append(p)
+    return paths
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
+        prefix="skani_scale_")
+    gdir = os.path.join(work, "genomes")
+    dbdir = os.path.join(work, "db")
+    os.makedirs(gdir, exist_ok=True)
+    if os.path.exists(dbdir):
+        shutil.rmtree(dbdir)
+
+    t0 = time.time()
+    paths = synth_genomes(gdir)
+    print(f"synthesized {N} genomes in {time.time() - t0:.1f}s")
+
+    sp = SketchParams()
+    cp = CommandParams(mode=Mode.SKETCH, out_file_name=dbdir,
+                       ref_files=paths, threads=os.cpu_count() or 1)
+    t0 = time.time()
+    engine.sketch(cp, sp)
+    dt = time.time() - t0
+    db_bytes = sum(os.path.getsize(os.path.join(dbdir, f))
+                   for f in os.listdir(dbdir))
+    print(f"DB construction: {N} genomes in {dt:.1f}s "
+          f"({N / dt:.1f} genomes/s), {db_bytes / 1e6:.1f} MB on disk")
+
+    queries = paths[:2] + paths[-1:]
+    cp = CommandParams(
+        mode=Mode.SEARCH, out_file_name=os.path.join(work, "search.tsv"),
+        ref_files=[os.path.join(dbdir, f) for f in os.listdir(dbdir)],
+        query_files=queries, refs_are_sketch=True, screen=True,
+        max_results=10 ** 7, min_aligned_frac=-1.0,
+        both_min_aligned_frac=-0.01, learned_ani=True,
+        threads=os.cpu_count() or 1)
+    t0 = time.time()
+    res = engine.search(cp)
+    dt = time.time() - t0
+    print(f"search: {len(queries)} queries vs {N}-genome DB in {dt:.1f}s "
+          f"({dt / len(queries):.2f} s/query), {len(res)} hits")
+    print(f"workdir: {work}")
+
+
+if __name__ == "__main__":
+    main()
