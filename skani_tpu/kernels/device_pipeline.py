@@ -399,7 +399,10 @@ class DevicePairEngine:
         self.command_params = command_params
         self.model = model
         self.R = batch
-        a = int(1.25 * self.db.max_n_pos)
+        # anchors rarely exceed ~1.1x the larger position count (the repeat
+        # band caps the blowup); overflow pairs fall back to the exact
+        # native path, so a tight buffer only costs speed on outliers
+        a = int(1.15 * self.db.max_n_pos)
         self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 17)
         self.I_CAP = i_cap
         self.C_CAP = c_cap
