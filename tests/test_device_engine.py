@@ -69,3 +69,44 @@ def test_device_engine_mirrors_ordered_duplicates():
     assert a.ref_file == b.query_file and a.query_file == b.ref_file
     self_r = res[0]
     assert self_r.ani == 1.0
+
+
+def test_device_engine_hybrid_stealing_with_model():
+    """Host workers steal pairs from the device queue; results must be
+    byte-identical to the pure paths, including GBDT-debias application."""
+    import gzip
+    from skani_tpu import gbdt
+    from skani_tpu.sketch import Sketch, _finalize_sketch, default_seeder
+
+    with gzip.open("/root/reference/test_files/e.coli-W.fasta.gz") as f:
+        lines = f.read().splitlines()
+    seq = np.frombuffer(b"".join(l for l in lines if not l.startswith(b">")),
+                        dtype=np.uint8)[:600000].copy()
+    rng = np.random.default_rng(2)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    sp = SketchParams()
+    sks = []
+    seeder = default_seeder()
+    for i in range(6):
+        s = seq.copy()
+        nmut = int(len(s) * 0.01 * (1 + i))
+        pos = rng.choice(len(s), size=nmut, replace=False)
+        s[pos] = bases[rng.integers(0, 4, size=nmut)]
+        sk = Sketch(file_name=f"m{i}", marker_c=sp.c, c=sp.c, k=sp.k)
+        sk.contigs = [f"m{i}"]
+        sk.contig_lengths = np.array([len(s)], dtype=np.uint32)
+        sk.total_sequence_length = len(s)
+        km, po, ca, ma = seeder(s, sp)
+        _finalize_sketch(sk, [km], [po], [ca],
+                         [np.zeros(len(km), dtype=np.uint32)], [ma])
+        sks.append(sk)
+    model = gbdt.get_model(sp.c, True)
+    cp = CommandParams()
+    pairs = [(i, j) for i in range(6) for j in range(6) if i != j]
+    eng = DevicePairEngine(sks, sp, cp, model=model, batch=4)
+    res = eng.run_pairs(pairs, host_workers=2)
+    for (i, j), a in zip(pairs, res):
+        mp = map_params_from_sketch(sks[i], False, cp, model)
+        b = chain_seeds_native(sks[i], sks[j], mp)
+        assert a.ani == b.ani, (i, j, a.ani, b.ani)
+        assert a.ci_lower == b.ci_lower and a.ci_upper == b.ci_upper
