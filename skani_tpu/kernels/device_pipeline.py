@@ -389,7 +389,7 @@ class DevicePairEngine:
     N_IV_FIELDS = 10  # valid, score, num, q0, q1, r0, r1, rc, cid, rev
 
     def __init__(self, sketches: Sequence, sketch_params, command_params,
-                 model=None, batch: int = 32,
+                 model=None, batch: int = 12,
                  i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768,
                  device=None):
         self.sketches = list(sketches)
