@@ -9,10 +9,8 @@ from __future__ import annotations
 
 import logging
 import os
-import sys
+import time
 from typing import Dict, List, Optional
-
-import numpy as np
 
 from . import db, gbdt, screen, writers
 from .ani import AniEstResult, chain_seeds
@@ -99,6 +97,7 @@ def get_pair_executor():
 def dist(command_params: CommandParams, sketch_params: SketchParams,
          executor=None) -> List[AniEstResult]:
     """reference: src/dist.rs:12-190"""
+    t_start = time.monotonic()
     executor = executor or get_pair_executor()
     new_params, ref_sketches = _load_side(
         command_params.ref_files, command_params.refs_are_sketch,
@@ -124,6 +123,8 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
                   "found.")
         raise SystemExit(1)
 
+    log.info(f"Generating sketch time: {time.monotonic() - t_start:.2f}s")
+    t_ani = time.monotonic()
     screen.check_small_contigs(ref_sketches, query_sketches, log.warning)
     model = gbdt.get_model(sketch_params.c, command_params.learned_ani)
     if model is not None:
@@ -173,12 +174,14 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
         sketch_params.use_aa, command_params.est_ci,
         command_params.detailed_out, append=not first_write,
         short_header=command_params.short_header)
+    log.info(f"ANI calculation time: {time.monotonic() - t_ani:.2f}s")
     return anis
 
 
 def triangle(command_params: CommandParams, sketch_params: SketchParams,
              executor=None) -> Dict[int, Dict[int, AniEstResult]]:
     """reference: src/triangle.rs:13-169"""
+    t_start = time.monotonic()
     executor = executor or get_pair_executor()
     new_params, ref_sketches = _load_side(
         command_params.ref_files, command_params.refs_are_sketch,

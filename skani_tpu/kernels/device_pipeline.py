@@ -60,7 +60,6 @@ jax.config.update("jax_compilation_cache_dir",
                                  os.path.expanduser("~/.cache/skani_jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from ..params import D_MAX_LIN_LENGTH, MapParams
 from .device_db import CTG_SENTINEL, DeviceDb
 from .dp_pallas import dp_chain
 
