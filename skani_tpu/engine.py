@@ -241,11 +241,13 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
             command_params.individual_contig_r, command_params.full_matrix,
             command_params.diagonal, sketch_params.use_aa,
             command_params.distance)
+    log.info(f"Triangle time: {time.monotonic() - t_start:.2f}s")
     return anis
 
 
 def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     """reference: src/search.rs:16-300"""
+    t_start = time.monotonic()
     executor = executor or get_pair_executor()
     ref_marker_file = ""
     for f in command_params.ref_files:
@@ -354,6 +356,7 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
         sketch_params.use_aa, command_params.est_ci,
         command_params.detailed_out, append=not first_write,
         short_header=command_params.short_header)
+    log.info(f"Searching time: {time.monotonic() - t_start:.2f}s")
     return anis
 
 
