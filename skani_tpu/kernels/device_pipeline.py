@@ -221,10 +221,14 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
                          ).at[rowi, cs_idx].max(qc)[:, :C_CAP]
     chunk_new_ctg = jnp.zeros((R, C_CAP + 1), bool
                               ).at[rowi, cs_idx].max(seg_start)[:, :C_CAP]
-    # hi = qp_first + (m+1)*fl, except the globally last chunk: last qp
+    # hi = qp_first + (m+1)*fl, except the globally last chunk: the LAST
+    # anchor's query position in sorted order (reference closes the final
+    # chunk at a_qp[n-1], NOT the max position across contigs —
+    # src/chain.rs:804-817)
     chunk_hi = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[rowi, cs_idx].max(
         qp_first + (m + 1) * fl)[:, :C_CAP]
-    last_qp = jnp.max(jnp.where(anchor_valid, qp, -1), axis=1)
+    last_idx = jnp.clip(jnp.minimum(total, A) - 1, 0, A - 1)
+    last_qp = jnp.take_along_axis(qp, last_idx[:, None], axis=1)[:, 0]
     last_cid = n_chunks - 1
     chunk_hi = chunk_hi.at[jnp.arange(R),
                            jnp.clip(last_cid, 0, C_CAP - 1)].set(

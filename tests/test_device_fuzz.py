@@ -1,0 +1,84 @@
+"""Randomized differential test: device engine vs native across
+multi-contig, repeat-heavy, N-laden genomes and random (c, k, mode)
+configurations.  This caught a real divergence (the final chunk's seed
+range must close at the LAST anchor's query position in sorted order, not
+the max position across contigs — reference: src/chain.rs:804-817)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from skani_tpu import CommandParams, SketchParams
+from skani_tpu.ani import chain_seeds_native
+from skani_tpu.kernels.device_pipeline import DevicePairEngine
+from skani_tpu.params import map_params_from_sketch
+from skani_tpu.sketch import Sketch, _finalize_sketch, default_seeder
+
+BASES = np.frombuffer(b"ACGTacgtNn", dtype=np.uint8)
+
+
+def _rand_genome(rng, L, n_contigs, repeat=False, src=None):
+    parts = []
+    for _ in range(n_contigs):
+        cl = max(600, int(rng.integers(600, max(L // n_contigs, 700))))
+        if src is not None:
+            s = src[:cl].copy()
+            nm = int(cl * rng.uniform(0.001, 0.05))
+            p = rng.choice(cl, size=nm, replace=False)
+            s[p] = BASES[rng.integers(0, 4, size=nm)]
+        else:
+            s = BASES[rng.integers(0, len(BASES), size=cl)]
+        if repeat:
+            s = np.concatenate([s] + [s[:2000]] * int(rng.integers(2, 20)))
+        parts.append(s)
+    return parts
+
+
+def _mk_sketch(parts, sp, name):
+    seeder = default_seeder()
+    sk = Sketch(file_name=name, marker_c=sp.c, c=sp.c, k=sp.k)
+    kms, pos, cas, ctg, mas = [], [], [], [], []
+    j = 0
+    for s in parts:
+        if len(s) < 500:
+            continue
+        sk.contigs.append(f"{name}_c{j}")
+        sk.contig_lengths = np.append(sk.contig_lengths, np.uint32(len(s)))
+        sk.total_sequence_length += len(s)
+        km, po, ca, ma = seeder(s, sp)
+        if len(km):
+            kms.append(km)
+            pos.append(po)
+            cas.append(ca)
+            ctg.append(np.full(len(km), j, np.uint32))
+        if len(ma):
+            mas.append(ma)
+        j += 1
+    _finalize_sketch(sk, kms, pos, cas, ctg, mas)
+    return sk
+
+
+@pytest.mark.parametrize("seed,c,k", [(99, 200, 15), (7, 30, 12),
+                                      (23, 125, 16)])
+def test_device_engine_fuzz(seed, c, k):
+    rng = np.random.default_rng(seed)
+    sp = SketchParams(c=c, k=k, marker_c=max(c, 200))
+    cp = CommandParams(robust=bool(seed % 2))
+    base = BASES[rng.integers(0, 4, size=120000)]
+    sks = []
+    for g in range(4):
+        parts = _rand_genome(rng, 120000, int(rng.integers(1, 5)),
+                             repeat=(g == 3), src=base if g < 3 else None)
+        sks.append(_mk_sketch(parts, sp, f"f{seed}g{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=4, i_cap=256, c_cap=32,
+                           l_cap=512)
+    pairs = [(i, j) for i in range(4) for j in range(4) if i != j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    for (i, j), a in zip(pairs, res):
+        mp = map_params_from_sketch(sks[i], False, cp, None)
+        b = chain_seeds_native(sks[i], sks[j], mp)
+        if np.isnan(a.ani) and np.isnan(b.ani):
+            continue
+        assert a.ani == b.ani, (i, j, a.ani, b.ani)
+        assert a.align_fraction_query == b.align_fraction_query
+        assert a.ci_lower == b.ci_lower
