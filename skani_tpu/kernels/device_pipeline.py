@@ -62,6 +62,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .device_db import CTG_SENTINEL, DeviceDb
 from .dp_pallas import dp_chain
+from .gather_pallas import mxu_row_gather
 
 I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
@@ -147,31 +148,33 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
         rowi, jnp.where(emit, offs, A)].max(kcols, mode="drop")
     g = jnp.clip(jax.lax.cummax(g, axis=1), 0, K - 1)
     anchor_valid = slots < jnp.minimum(total, A)[:, None]
-    # fuse the per-kmer lookups into as few (R, A) gathers as possible:
-    # (offset, count) pack into one int32; (a_start, b_start) pack when the
-    # position table is small enough (16+16 bits)
+    # the big (R, A)-index gathers route through the MXU one-hot kernel on
+    # TPU (~2x the XLA gather); fuse the per-kmer lookups into as few of
+    # them as possible: (offset, count) pack into one int32; (a_start,
+    # b_start) pack when the position table is small enough (16+16 bits)
+    rg = mxu_row_gather if use_pallas else _row_gather
     assert band < 4096
     pk_oc = (jnp.minimum(offs, A) << 12) | jnp.minimum(b_cnt_hit, 4095)
-    oc = _row_gather(pk_oc, g)
+    oc = rg(pk_oc, g)
     rank = slots - (oc >> 12)
     bc = jnp.maximum(oc & 4095, 1)
     if P <= 65536:
         pk_ab = (a_start << 16) | b_start_hit
-        ab = _row_gather(pk_ab, g)
+        ab = rg(pk_ab, g)
         a_start_g = (ab >> 16) & 0xFFFF
         b_start_g = ab & 0xFFFF
     else:
-        a_start_g = _row_gather(a_start, g)
-        b_start_g = _row_gather(b_start_hit, g)
+        a_start_g = rg(a_start, g)
+        b_start_g = rg(b_start_hit, g)
     arow = jnp.clip(a_start_g + rank // bc, 0, P - 1)
     brow = jnp.clip(b_start_g + rank % bc, 0, P - 1)
 
     pos_b = db_pos[b_idx]
     ctgc_b = db_ctgc[b_idx]
-    qp = jnp.where(anchor_valid, _row_gather(pos_a, arow), I32MAX)
-    qcc = _row_gather(ctgc_a, arow)
-    rp = jnp.where(anchor_valid, _row_gather(pos_b, brow), I32MAX)
-    rcc = _row_gather(ctgc_b, brow)
+    qp = jnp.where(anchor_valid, rg(pos_a, arow), I32MAX)
+    qcc = rg(ctgc_a, arow)
+    rp = jnp.where(anchor_valid, rg(pos_b, brow), I32MAX)
+    rcc = rg(ctgc_b, brow)
     qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
     rc = jnp.where(anchor_valid, rcc >> 1, I32MAX)
     rev = ((qcc & 1) != (rcc & 1)) & anchor_valid
