@@ -109,20 +109,40 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     a_start = db_starts[a_idx]
     b_start = db_starts[b_idx]
 
+    def rg(table, index):
+        """Row gather: MXU one-hot kernel when shapes allow, XLA flat
+        gather otherwise (CPU, or narrow tables like small chunk caps)."""
+        if use_pallas and table.shape[1] % 128 == 0 \
+                and index.shape[1] % 1024 == 0:
+            return mxu_row_gather(table, index)
+        return _row_gather(table, index)
+
+    assert band < 4096
+
     # --- join (reference: src/chain.rs:666-712) ---
     idx = jax.vmap(functools.partial(jnp.searchsorted, method="sort"))(bk, ak)
     idx = jnp.minimum(idx, K - 1)
     a_valid = ak != jnp.uint32(0xFFFFFFFF)
-    hit = (_row_gather(bk, idx) == ak) & a_valid
-    b_cnt_hit = jnp.where(hit, _row_gather(b_cnt, idx), 0)
-    b_start_hit = jnp.where(hit, _row_gather(b_start, idx), 0)
+    bk_i = jax.lax.bitcast_convert_type(bk, jnp.int32)
+    ak_i = jax.lax.bitcast_convert_type(ak, jnp.int32)
+    hit = (rg(bk_i, idx) == ak_i) & a_valid
+    if P < (1 << 17):
+        # pack (count, start) so the join needs two gathers, not three
+        # (count clipped to 4095 — only compared against band < 4096)
+        pk_cs = (jnp.minimum(b_cnt, 4095) << 17) | b_start
+        cs = rg(pk_cs, idx)
+        b_cnt_hit = jnp.where(hit, cs >> 17, 0)
+        b_start_hit = jnp.where(hit, cs & ((1 << 17) - 1), 0)
+    else:
+        b_cnt_hit = jnp.where(hit, rg(b_cnt, idx), 0)
+        b_start_hit = jnp.where(hit, rg(b_start, idx), 0)
     a_ok = (a_cnt <= band) & a_valid
     pair_ok = hit & a_ok & (b_cnt_hit <= band)
 
     # query-position table mask
     qpa_kmer_ok = a_ok & ~(hit & (b_cnt_hit > band))
     pos_kid_a = db_pos_kid[a_idx]
-    qpa_keep = _row_gather(qpa_kmer_ok, pos_kid_a)
+    qpa_keep = rg(qpa_kmer_ok.astype(jnp.int32), pos_kid_a).astype(bool)
     pos_a = db_pos[a_idx]
     ctgc_a = db_ctgc[a_idx]       # packed contig*2 + canonical
     ctg_a = ctgc_a >> 1
@@ -152,8 +172,6 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     # TPU (~2x the XLA gather); fuse the per-kmer lookups into as few of
     # them as possible: (offset, count) pack into one int32; (a_start,
     # b_start) pack when the position table is small enough (16+16 bits)
-    rg = mxu_row_gather if use_pallas else _row_gather
-    assert band < 4096
     pk_oc = (jnp.minimum(offs, A) << 12) | jnp.minimum(b_cnt_hit, 4095)
     oc = rg(pk_oc, g)
     rank = slots - (oc >> 12)
@@ -193,7 +211,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     # first column of the current segment: forward-fill of flagged columns
     seg_idx0 = jnp.maximum(
         jax.lax.cummax(jnp.where(seg_start, cols, -1), axis=1), 0)
-    qp_first = _row_gather(qp, seg_idx0)
+    qp_first = rg(qp, seg_idx0)
     t_in_seg = cols - seg_idx0
     u = qp - qp_first
     q_units = jnp.maximum(0, (u - 1) // fl).astype(jnp.int32)
@@ -241,8 +259,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     chunk_first = jnp.full((R, C_CAP + 1), BIG, jnp.int32).at[
         rowi, jnp.where(anchor_valid & (cid < C_CAP) & (cid >= 0),
                         cid, C_CAP)].min(cols)[:, :C_CAP]
-    col_in_chunk = cols - _row_gather(chunk_first,
-                                      jnp.clip(cid, 0, C_CAP - 1))
+    col_in_chunk = cols - rg(chunk_first, jnp.clip(cid, 0, C_CAP - 1))
     ok_place = anchor_valid & (cid >= 0) & (cid < C_CAP) \
         & (col_in_chunk < L_CAP)
     overflow = (total > A) | (n_chunks > C_CAP) \
