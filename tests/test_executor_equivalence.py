@@ -96,3 +96,16 @@ def test_search_executor_equivalence(genomes, tmp_path):
     _run(args + ["-o", out_n], None, d)
     _run(args + ["-o", out_t], "tpu", d)
     _diff(out_n, out_t)
+
+
+def test_dist_qi_ri_executor_equivalence(genomes, tmp_path):
+    """Per-contig mode (--qi/--ri): many small sketches through the device
+    engine, byte-identical to the native path."""
+    d, paths = genomes
+    out_n = str(tmp_path / "n.tsv")
+    out_t = str(tmp_path / "t.tsv")
+    args = ["dist", "-q", paths[-1], "-r", paths[0], paths[-1],
+            "--qi", "--ri"]
+    _run(args + ["-o", out_n], None, d)
+    _run(args + ["-o", out_t], "tpu", d)
+    _diff(out_n, out_t)
