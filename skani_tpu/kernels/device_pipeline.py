@@ -17,26 +17,34 @@ device-resident DeviceDb:
       nondecreasing because anchors are sorted, so the cascade counter is a
       segmented prefix-min, computed here as a single lax.cummax over
       (segment_id << VBITS | encoded value) packed keys;
-    * banded chaining DP as a lax.scan over anchors REGROUPED to
-      rows-per-chunk — the dependency chain is per chunk, so the scan length
-      is the chunk cap, not the total anchor count; chain ROOT and DEPTH are
-      propagated through the scan's band ring buffer, so no pointer-chasing
-      pass is needed afterwards;
-    * chain extraction as input-sized scatters in the COMPACT anchor domain
-      (per-root best via packed (score, column) scatter-max);
+    * banded chaining DP over anchors REGROUPED to rows-per-chunk — the
+      dependency chain is per chunk, so the sequential length is the chunk
+      cap, not the total anchor count; a Pallas VMEM kernel on TPU, a
+      bit-identical lax.scan elsewhere (kernels/dp_pallas.py); chain ROOT
+      and DEPTH propagate through the band ring buffer, so no
+      pointer-chasing pass is needed afterwards;
+    * chain extraction with NO scatters/gathers: per-chain best anchor and
+      size come from lax.sorts of the (root, score desc)-keyed anchor
+      stream in the COMPACT domain;
+    * row-local lookups route through an MXU one-hot gather kernel
+      (kernels/gather_pallas.py) on TPU;
     * ALL outputs packed into one int32 tensor (one host roundtrip).
   host: greedy overlap resolution + per-chunk aggregation (native C++),
     which emits seed-rank queries.
   phase B (one jit): batched lexicographic rank queries against the
     device-side per-pair seed-position table.
 
-Performance notes (measured on TPU v5e over a tunneled link): 2D
-take_along_axis gathers and per-element binary searches are the expensive
-primitives (~60ms / ~200ms per call at these shapes); lax.sort, lax.cummax,
-flat 1-D gathers, and input-small scatters are cheap (<5ms).  V3 is written
-entirely in terms of the cheap set; V2's pointer-doubling chain extraction
-(20 large 2-D gathers) is replaced by in-scan root propagation plus
-compact-domain scatters.
+  run_pairs drains a shared work queue from both ends: device batches from
+  the front (two in flight), optional host C++ worker threads stealing
+  single pairs from the back; mirrored pair orientations are computed once.
+
+Performance notes (measured on TPU v5e over a tunneled link; full cost
+model in PERF.md): 2D take_along_axis gathers and per-element binary
+searches are the expensive primitives (~60ms / ~200ms per call at these
+shapes); lax.sort, lax.cummax, MXU one-hot gathers, and input-small
+scatters are cheap (<5ms).  V3 is written entirely in terms of the cheap
+set; V2's pointer-doubling chain extraction (20 large 2-D gathers) is
+replaced by in-scan root propagation plus sort-based aggregation.
 
 Only sketches (once per genome) and tiny per-pair results cross the host
 link — the design premise for both the slow-link single chip and the
