@@ -92,3 +92,78 @@ def test_sharded_pair_fleet_matches_native():
     r = subprocess.run([sys.executable, "-c", FLEET_SCRIPT % REPO],
                        capture_output=True, text=True, env=env, timeout=600)
     assert "FLEET_OK" in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+FLEET_FUZZ_SCRIPT = r"""
+import sys, numpy as np
+sys.path.insert(0, %r)
+from skani_tpu import CommandParams, SketchParams
+from skani_tpu.sketch import Sketch, _finalize_sketch, default_seeder
+from skani_tpu.ani import chain_seeds_native
+from skani_tpu.params import map_params_from_sketch
+from skani_tpu.parallel import ShardedPairFleet
+import jax
+assert len(jax.devices()) == 8
+BASES = np.frombuffer(b"ACGTacgtNn", dtype=np.uint8)
+def mk(rng, parts, sp, name):
+    seeder = default_seeder()
+    sk = Sketch(file_name=name, marker_c=sp.c, c=sp.c, k=sp.k)
+    kms, pos, cas, ctg, mas = [], [], [], [], []
+    j = 0
+    for s in parts:
+        if len(s) < 500: continue
+        sk.contigs.append(f"{name}_c{j}")
+        sk.contig_lengths = np.append(sk.contig_lengths, np.uint32(len(s)))
+        sk.total_sequence_length += len(s)
+        km, po, ca, ma = seeder(s, sp)
+        if len(km):
+            kms.append(km); pos.append(po); cas.append(ca)
+            ctg.append(np.full(len(km), j, np.uint32))
+        if len(ma): mas.append(ma)
+        j += 1
+    _finalize_sketch(sk, kms, pos, cas, ctg, mas)
+    return sk
+rng = np.random.default_rng(321)
+sp = SketchParams(c=70, k=14, marker_c=200)
+cp = CommandParams(robust=True)
+base = BASES[rng.integers(0,4,size=80000)]
+refs = []
+for g in range(11):   # uneven across 8 shards
+    nc = int(rng.integers(1,4))
+    parts = []
+    for _ in range(nc):
+        cl = int(rng.integers(700, 80000//nc))
+        s = base[:cl].copy()
+        nm = int(cl*rng.uniform(0.0, 0.05))
+        if nm:
+            p = rng.choice(cl, size=nm, replace=False)
+            s[p] = BASES[rng.integers(0,4,size=nm)]
+        parts.append(s)
+    refs.append(mk(rng, parts, sp, f"r{g}"))
+queries = refs[:2] + [refs[7]]
+fleet = ShardedPairFleet(refs, queries, sp, cp, batch=3,
+                         i_cap=128, c_cap=16, l_cap=512)
+pairs = [(rg, qg) for rg in range(11) for qg in range(3)]
+res = fleet.run_pairs(pairs)
+bad = 0
+for (rg, qg), a in zip(pairs, res):
+    mp = map_params_from_sketch(refs[rg], False, cp, None)
+    b = chain_seeds_native(refs[rg], queries[qg], mp)
+    ok = (np.isnan(a.ani) and np.isnan(b.ani)) or (a.ani==b.ani and a.align_fraction_query==b.align_fraction_query and a.ci_lower==b.ci_lower)
+    if not ok:
+        bad += 1
+        print("FLEET MISMATCH", rg, qg, a.ani, b.ani)
+print(f"fleet fuzz: {len(pairs)} pairs, {bad} mismatches")
+"""
+
+
+def test_sharded_pair_fleet_fuzz():
+    """Randomized multi-contig genomes over an uneven 8-shard fleet."""
+    env = dict(os.environ, PYTHONPATH=REPO,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-c", FLEET_FUZZ_SCRIPT % REPO],
+                       capture_output=True, text=True, env=env, timeout=900)
+    assert "fleet fuzz: 33 pairs, 0 mismatches" in r.stdout, \
+        r.stdout[-2000:] + r.stderr[-2000:]
