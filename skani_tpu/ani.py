@@ -8,7 +8,7 @@ src/chain.rs:294-321) is elided: spacing is always 0 there.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -10,7 +10,7 @@ uses, batched further over pairs).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

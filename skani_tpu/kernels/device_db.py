@@ -6,7 +6,7 @@ shards along the genome axis (each host's chips hold a slice of the DB).
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -22,7 +22,6 @@ TPU specifics:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Works on any jax device set: real TPU slices, or a virtual CPU mesh
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
