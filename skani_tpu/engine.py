@@ -77,21 +77,54 @@ def _default_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
     return [one(p) for p in pairs]
 
 
+_accel_backend = None
+
+
+def _accelerator_present() -> bool:
+    """True when JAX's default backend is an accelerator (TPU or the axon
+    tunnel to one).  Cached: jax.devices() initializes the backend once."""
+    global _accel_backend
+    if _accel_backend is None:
+        try:
+            import jax
+            _accel_backend = jax.default_backend() not in ("cpu",)
+        except Exception:
+            _accel_backend = False
+    return _accel_backend
+
+
+def _auto_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
+                        command_params, model):
+    """Route each batch to the best path: the batched device engine when an
+    accelerator is present and the batch is large enough to amortize device
+    dispatch, the native per-pair C++ path otherwise.  Both paths are exact
+    (enforced by tests/test_executor_equivalence.py), so routing is purely a
+    performance decision."""
+    min_pairs = int(os.environ.get("SKANI_TPU_MIN_PAIRS", "24"))
+    if len(pairs) >= min_pairs and _accelerator_present():
+        from .kernels.pipeline import tpu_pair_executor
+        return tpu_pair_executor(ref_sketches, query_sketches, pairs,
+                                 sketch_params, command_params, model)
+    return _default_pair_executor(ref_sketches, query_sketches, pairs,
+                                  sketch_params, command_params, model)
+
+
 def get_pair_executor():
     """Returns the best available pair executor.
 
-    The native per-pair path (C++ join/DP/stats) is the default: on this
-    host it outperforms shipping per-pair DP inputs over the accelerator
-    link.  The device-batched executor (kernels.pipeline) is selected via
-    SKANI_TPU_EXECUTOR=tpu for large batched workloads / multi-chip runs.
+    Default ("auto"): the device-batched engine (kernels.pipeline) whenever
+    an accelerator backend is present and the workload is batched; the
+    native per-pair path (C++ join/DP/stats) for small batches and
+    CPU-only hosts.  SKANI_TPU_EXECUTOR=tpu forces the device engine,
+    =native forces the host path.
     """
     choice = os.environ.get("SKANI_TPU_EXECUTOR", "auto")
     if choice == "tpu":
         from .kernels.pipeline import tpu_pair_executor
         return tpu_pair_executor
-    if choice == "numpy":
+    if choice in ("native", "numpy"):
         return _default_pair_executor
-    return _default_pair_executor
+    return _auto_pair_executor
 
 
 def dist(command_params: CommandParams, sketch_params: SketchParams,
@@ -214,27 +247,56 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
                     "Consider decreasing -m value and/or using "
                     "--faster-small for faster calculations.")
 
-    pairs = []
+    # Streaming all-vs-all: pairs are generated row by row and executed in
+    # bounded batches, and sparse mode flushes accumulated results to disk
+    # every INTERMEDIATE_WRITE_COUNT rows (reference: src/triangle.rs:71-138)
+    # — memory stays flat at 10k+ genomes instead of materializing all
+    # O(n^2) pairs and results at once.
+    pair_batch_cap = int(os.environ.get("SKANI_TPU_TRIANGLE_BATCH", "50000"))
+    anis: Dict[int, Dict[int, AniEstResult]] = {}
+    pending: List = []
+    first_write = True
+
+    def run_pending():
+        nonlocal pending
+        if not pending:
+            return
+        results = executor(ref_sketches, ref_sketches, pending,
+                           sketch_params, command_params, model)
+        for (i, j), r in zip(pending, results):
+            if r.ani > 0.1:
+                anis.setdefault(i, {})[j] = r
+        pending = []
+
+    def flush_sparse():
+        nonlocal first_write
+        writers.write_sparse_matrix(
+            anis, ref_sketches, command_params.out_file_name,
+            sketch_params.use_aa, command_params.est_ci,
+            command_params.detailed_out, command_params.diagonal,
+            short_header=command_params.short_header,
+            append=not first_write)
+        first_write = False
+        anis.clear()
+
     for i in range(len(ref_sketches) - 1):
         screened = screen.screen_refs(screen_val, index, ref_sketches[i],
                                       sketch_params,
                                       command_params.rescue_small)
         for j in screened:
             if j > i:
-                pairs.append((i, int(j)))
-    results = executor(ref_sketches, ref_sketches, pairs, sketch_params,
-                       command_params, model)
-    anis: Dict[int, Dict[int, AniEstResult]] = {}
-    for (i, j), r in zip(pairs, results):
-        if r.ani > 0.1:
-            anis.setdefault(i, {})[j] = r
+                pending.append((i, int(j)))
+        if len(pending) >= pair_batch_cap:
+            run_pending()
+        if (i + 1) % 100 == 0:
+            log.info(f"{i + 1} query sequences processed.")
+        if command_params.sparse and (i + 1) % INTERMEDIATE_WRITE_COUNT == 0:
+            run_pending()
+            flush_sparse()
+    run_pending()
 
     if command_params.sparse:
-        writers.write_sparse_matrix(
-            anis, ref_sketches, command_params.out_file_name,
-            sketch_params.use_aa, command_params.est_ci,
-            command_params.detailed_out, command_params.diagonal,
-            short_header=command_params.short_header)
+        flush_sparse()
     else:
         writers.write_phyllip_matrix(
             anis, ref_sketches, command_params.out_file_name,
@@ -306,9 +368,42 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
             kept_refs[original] = sk
         return sk
 
+    def load_refs(js: List[int]):
+        """Load the passing reference sketches, in parallel over `-t`
+        threads (reference: src/search.rs:142-166 par_iter over passing
+        refs).  Lazy mmap deserialization is read-only, so concurrent loads
+        are safe; --keep-refs hits are served from the cache."""
+        threads = command_params.threads
+        if threads > 1 and len(js) > 3:
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+                sks = list(ex.map(load_ref, js))
+        else:
+            sks = [load_ref(j) for j in js]
+        return [(j, sk) for j, sk in zip(js, sks) if sk is not None]
+
+    # Queries are batched across the executor: screened (query, ref) pairs
+    # accumulate into a window that is executed as ONE batch, so the device
+    # engine sees large pair batches (and uploads each window's DB once)
+    # instead of a per-query trickle.  Both paths are exact, so windowing
+    # never changes results — only throughput.
     anis: List[AniEstResult] = []
     first_write = True
     n_done = 0
+    batch_cap = int(os.environ.get("SKANI_TPU_SEARCH_BATCH", "4096"))
+    win_refs: List[Sketch] = []
+    win_slot: Dict[int, int] = {}   # ref index -> slot in win_refs
+    win_queries: List[Sketch] = []
+    win_pairs: List = []
+
+    def run_window():
+        nonlocal win_refs, win_slot, win_queries, win_pairs
+        if win_pairs:
+            results = executor(win_refs, win_queries, win_pairs,
+                               sketch_params, command_params, model)
+            anis.extend(r for r in results if r.ani > 0.5)
+        win_refs, win_slot, win_queries, win_pairs = [], {}, [], []
+
     for query_file in command_params.query_files:
         if command_params.queries_are_sketch:
             q_params, query_sketches = db.sketches_from_sketch([query_file])
@@ -330,16 +425,21 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
             else:
                 refs_to_try = [int(j) for j in screen.screen_refs_indices(
                     screen_val, index, q, sketch_params)]
-            loaded = [(j, load_ref(j)) for j in refs_to_try]
-            loaded = [(j, sk) for j, sk in loaded if sk is not None]
-            results = executor([sk for _j, sk in loaded], [q],
-                               [(i, 0) for i in range(len(loaded))],
-                               sketch_params, command_params, model)
-            anis.extend(r for r in results if r.ani > 0.5)
+            qslot = len(win_queries)
+            win_queries.append(q)
+            for j, sk in load_refs([j for j in refs_to_try
+                                    if j not in win_slot]):
+                win_slot[j] = len(win_refs)
+                win_refs.append(sk)
+            win_pairs.extend((win_slot[j], qslot) for j in refs_to_try
+                             if j in win_slot)
+            if len(win_pairs) >= batch_cap:
+                run_window()
             n_done += 1
             if n_done % 100 == 0:
                 log.info(f"{n_done} query sequences processed.")
             if n_done % INTERMEDIATE_WRITE_COUNT == 0:
+                run_window()
                 writers.write_query_ref_list(
                     anis, command_params.out_file_name,
                     command_params.max_results, sketch_params.use_aa,
@@ -348,6 +448,7 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
                     short_header=command_params.short_header)
                 first_write = False
                 anis = []
+    run_window()
     if command_params.keep_refs:
         log.info(f"{len(kept_refs)} references kept in memory for "
                  f"--keep-refs")
@@ -360,6 +461,40 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     return anis
 
 
+def _sketch_stream(files: List[str], sketch_params: SketchParams,
+                   individual: bool, threads: int, warn):
+    """Producer-consumer sketching pipeline: up to `threads` files are
+    sketched concurrently (the seeding kernel releases the GIL, so producer
+    threads scale across cores) and (index_within_file, sketch) items are
+    yielded in deterministic file order through a bounded window — the
+    analog of the reference's rayon producers -> bounded sync_channel ->
+    single writer design (reference: src/sketch.rs:105-190), with the
+    window bound playing the channel-capacity role so a 65k-genome build
+    streams instead of materializing every sketch."""
+    def one(f):
+        if individual:
+            sks = fastx_to_multiple_sketch_rewrite([f], sketch_params, True,
+                                                   warn=warn)
+        else:
+            sks = fastx_to_sketches([f], sketch_params, True, warn=warn)
+        return list(enumerate(sks))
+
+    if threads <= 1 or len(files) <= 1:
+        for f in files:
+            yield from one(f)
+        return
+    import collections
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+        window = collections.deque()
+        for f in files:
+            window.append(ex.submit(one, f))
+            if len(window) >= 2 * threads:
+                yield from window.popleft().result()
+        while window:
+            yield from window.popleft().result()
+
+
 def sketch(command_params: CommandParams,
            sketch_params: SketchParams) -> None:
     """reference: src/sketch.rs:15-201"""
@@ -370,49 +505,36 @@ def sketch(command_params: CommandParams,
         raise SystemExit(1)
     os.makedirs(out_dir)
 
+    stream = _sketch_stream(command_params.ref_files, sketch_params,
+                            command_params.individual_contig_r,
+                            command_params.threads, log.warning)
+    marker_sketches = []
+    count = 0
     if command_params.separate_sketches:
         if command_params.individual_contig_r:
             log.warning("--separate-sketches combined with -i is NOT "
                         "compatible with `search`.")
-        marker_sketches = []
-        count = 0
-        for f in command_params.ref_files:
+        for j, sk in stream:
+            base = os.path.basename(sk.file_name)
             if command_params.individual_contig_r:
-                sks = fastx_to_multiple_sketch_rewrite(
-                    [f], sketch_params, True, warn=log.warning)
+                name = os.path.join(out_dir, f"{j}_{base}.sketch")
             else:
-                sks = fastx_to_sketches([f], sketch_params, True,
-                                        warn=log.warning)
-            for j, sk in enumerate(sks):
-                base = os.path.basename(sk.file_name)
-                if command_params.individual_contig_r:
-                    name = os.path.join(out_dir, f"{j}_{base}.sketch")
-                else:
-                    name = os.path.join(out_dir, f"{base}.sketch")
-                db.write_sketch_file(name, sketch_params, sk)
-                marker_sketches.append(sk.get_markers_only())
-                count += 1
-                if count % 100 == 0:
-                    log.info(f"{count} sequences sketched.")
+                name = os.path.join(out_dir, f"{base}.sketch")
+            db.write_sketch_file(name, sketch_params, sk)
+            marker_sketches.append(sk.get_markers_only())
+            count += 1
+            if count % 100 == 0:
+                log.info(f"{count} sequences sketched.")
         db.write_markers_bin(os.path.join(out_dir, "markers.bin"),
                              sketch_params, marker_sketches)
     else:
         writer = db.SketchDbWriter(out_dir)
-        marker_sketches = []
-        count = 0
-        for f in command_params.ref_files:
-            if command_params.individual_contig_r:
-                sks = fastx_to_multiple_sketch_rewrite(
-                    [f], sketch_params, True, warn=log.warning)
-            else:
-                sks = fastx_to_sketches([f], sketch_params, True,
-                                        warn=log.warning)
-            for sk in sks:
-                writer.add_sketch(sketch_params, sk)
-                marker_sketches.append(sk.get_markers_only())
-                count += 1
-                if count % 100 == 0:
-                    log.info(f"{count} sequences sketched.")
+        for _j, sk in stream:
+            writer.add_sketch(sketch_params, sk)
+            marker_sketches.append(sk.get_markers_only())
+            count += 1
+            if count % 100 == 0:
+                log.info(f"{count} sequences sketched.")
         writer.finalize()
         db.write_markers_bin(os.path.join(out_dir, "markers.bin"),
                              sketch_params, marker_sketches)

@@ -95,17 +95,22 @@ def _row_gather(mat, idx):
 # phase A
 # ---------------------------------------------------------------------------
 
+def _chk(*xs):
+    """Tiny checksum forcing full evaluation (profiling early-returns)."""
+    return jnp.stack([jnp.sum(x.astype(jnp.int32)) for x in xs])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score",
-                     "use_pallas"))
+                     "use_pallas", "stage"))
 def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
             db_pos_kid,
             a_idx, b_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
-            min_score: float, use_pallas: bool = False):
+            min_score: float, use_pallas: bool = False, stage: int = 99):
     R = a_idx.shape[0]
     K = db_kmers.shape[1]
     P = db_pos.shape[1]
@@ -146,6 +151,8 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
         b_start_hit = jnp.where(hit, rg(b_start, idx), 0)
     a_ok = (a_cnt <= band) & a_valid
     pair_ok = hit & a_ok & (b_cnt_hit <= band)
+    if stage == 1:   # join only
+        return _chk(hit, b_cnt_hit, b_start_hit, pair_ok)
 
     # query-position table mask
     qpa_kmer_ok = a_ok & ~(hit & (b_cnt_hit > band))
@@ -160,6 +167,8 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
         (jnp.where(qpa_keep, ctg_a, I32MAX),
          jnp.where(qpa_keep, pos_a, I32MAX)),
         dimension=1, num_keys=2)
+    if stage == 2:   # + qpa mask & sort
+        return _chk(pair_ok, qpa_ctg_s, qpa_pos_s)
 
     # --- anchor expansion ---
     # slot -> kmer assignment: scatter each emitting kmer's id at its first
@@ -204,12 +213,16 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
     rc = jnp.where(anchor_valid, rcc >> 1, I32MAX)
     rev = ((qcc & 1) != (rcc & 1)) & anchor_valid
+    if stage == 3:   # + anchor expansion
+        return _chk(qp, rp, qc, rc, rev, qpa_ctg_s)
 
     # --- anchor sort (reference: src/types.rs:499-506 Ord) ---
     qc, qp, rc, rp, rev_s, anchor_valid = jax.lax.sort(
         (qc, qp, rc, rp, rev.astype(jnp.int32), anchor_valid),
         dimension=1, num_keys=5)
     rev = rev_s.astype(bool)
+    if stage == 4:   # + anchor sort
+        return _chk(qc, qp, rc, rp, rev, qpa_ctg_s)
 
     # --- closed-form fragment chunking (see module docstring) ---
     cols = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (R, A))
@@ -262,6 +275,8 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     chunk_hi = chunk_hi.at[jnp.arange(R),
                            jnp.clip(last_cid, 0, C_CAP - 1)].set(
         jnp.where(last_cid >= 0, last_qp, -1))
+    if stage == 5:   # + chunking
+        return _chk(cid, chunk_hi, chunk_ctg, chunk_new_ctg, qpa_ctg_s)
 
     # --- regroup anchors to rows-per-chunk for the DP ---
     chunk_first = jnp.full((R, C_CAP + 1), BIG, jnp.int32).at[
@@ -290,6 +305,8 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     grp = scatter_t(rp, I32MAX)
     # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
     grcv = scatter_t(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
+    if stage == 6:   # + DP regroup scatters
+        return _chk(gqp, grp, grcv, qpa_ctg_s)
 
     # --- banded chaining DP (reference: src/chain.rs:838-896) ---
     # Pallas kernel on TPU, lax.scan elsewhere; the scan PROPAGATES each
@@ -297,6 +314,8 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     # ring buffer, which makes V2's post-DP pointer-chasing unnecessary.
     dd, root = dp_chain(gqp, grp, grcv, band, pcl, max_gap, anchor_score,
                         use_pallas=use_pallas)
+    if stage == 7:   # + chaining DP
+        return _chk(dd, root, qpa_ctg_s)
 
     # --- chain extraction in the COMPACT domain (src/chain.rs:939-1007) ---
     # Bring DP results back to the compact (R, A) anchor layout with two
@@ -310,12 +329,21 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     # orders by (contig, position) and chunk ids are nondecreasing), so the
     # root's compact column is elementwise arithmetic — no lookup table:
     root_cid = cols - col_in_chunk + root_pad
+    if stage == 8:   # + extraction gathers (padded -> compact)
+        return _chk(dd_c, root_cid, qpa_ctg_s)
 
     valid_c = ok_place
     DBITS = _ceil_log2(L_CAP + 1)   # matches dp_pallas.dbits(L_CAP)
     dp_c = dd_c >> DBITS
     dep_c = dd_c & ((1 << DBITS) - 1)
     INVBITS = _ceil_log2(A)
+    # packing headroom: `key` needs score < 2^(31-INVBITS), `packed_sn`
+    # needs score < 2^15.  L_CAP*anchor_score fits both at default shapes,
+    # but l_cap/anchor_score are parameters — pairs whose best score would
+    # overflow the packing fall back to the exact native path instead of
+    # silently corrupting best-anchor selection.
+    score_lim = min(1 << (31 - INVBITS), 1 << 15)
+    overflow |= jnp.any(valid_c & (dp_c >= score_lim), axis=1)
     # per-anchor (score, column) key: max -> best score, ties -> smallest col
     key = (dp_c << INVBITS) | (A - 1 - cols)
 
@@ -358,6 +386,8 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     ir0 = jnp.minimum(c_rp, b_rp)
     ir1 = jnp.maximum(c_rp, b_rp)
     overflow |= jnp.sum(good, axis=1) > I_CAP
+    if stage == 9:   # + extraction sorts
+        return _chk(good, iq0, iq1, ir0, ir1, qpa_ctg_s)
 
     # --- compact intervals per PAIR and pack everything into one i32 ---
     # score (<=15 bits), anchor count (<=DBITS+1), chunk id, good and rev
@@ -629,14 +659,20 @@ class DevicePairEngine:
                 lo_hi[1] -= 1
                 return meta[lo_hi[1]]
 
+        worker_errors = []
+
         def host_loop():
             while True:
                 item = take_back()
                 if item is None:
                     return
                 t, _a, _b, _sw, mp, ri, qi = item
-                out[t] = chain_seeds_native(self.sketches[ri],
-                                            self.sketches[qi], mp)
+                try:
+                    out[t] = chain_seeds_native(self.sketches[ri],
+                                                self.sketches[qi], mp)
+                except BaseException as e:  # surfaced after join
+                    worker_errors.append(e)
+                    return
 
         def process(entry):
             group, ph = entry
@@ -670,6 +706,8 @@ class DevicePairEngine:
                 break
         for w in workers:
             w.join()
+        if worker_errors:
+            raise worker_errors[0]
         for t, src in mirrors:
             out[t] = self._mirror_result(out[src])
         return out

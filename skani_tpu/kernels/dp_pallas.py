@@ -6,8 +6,8 @@ implementations with identical semantics:
 
   * `_dp_pallas` — a Pallas kernel: each grid block holds a (L, RC_B) tile
     of the anchor stream in VMEM and walks the L anchor positions
-    sequentially with a 32-slot ring buffer of the trailing band window,
-    vectorized across RC_B chunk rows (lanes).  All arithmetic is int32
+    sequentially with a ring buffer (power of two > band) of the trailing
+    band window, vectorized across RC_B chunk rows (lanes).  All arithmetic is int32
     (scores are integers: anchor_score minus integer gaps), bit-identical
     to the reference's float math.
   * `_dp_scan` — a lax.scan fallback (used on CPU, and the semantic
@@ -38,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import D_MAX_LIN_LENGTH
 
-RING = 32          # ring size (>= band, power of two, sublane-aligned)
 NEGI = -(1 << 29)  # "impossible" combined score
 
 
@@ -46,9 +45,18 @@ def dbits(L: int) -> int:
     return int(np.ceil(np.log2(L + 1)))
 
 
+def ring_size(band: int) -> int:
+    """Ring buffer length: smallest power of two > band (so the window
+    always retains the trailing `band` anchors), sublane-aligned (>= 8).
+    The slow preset (c=30) yields band 83 -> ring 128; the default c=125
+    yields band 20 -> ring 32."""
+    return max(8, 1 << int(np.ceil(np.log2(band + 1))))
+
+
 def _dp_kernel(qp_ref, rp_ref, rcv_ref, dd_ref, root_ref,
                dpw, qpw, rpw, rcvw, rootw, depw, slotw,
-               *, L, band, pcl, max_gap, anchor_score, DBITS):
+               *, L, band, pcl, max_gap, anchor_score, DBITS, RING,
+               RING_SHIFT):
     # init ring buffers
     dpw[:] = jnp.zeros_like(dpw)
     qpw[:] = jnp.zeros_like(qpw)
@@ -82,7 +90,7 @@ def _dp_kernel(qp_ref, rp_ref, rcv_ref, dd_ref, root_ref,
         cand = anchor_score - gap + dpw[:]
         comb = jnp.where(ok, cand * RING + rel, NEGI)
         best = jnp.max(comb, axis=0, keepdims=True)     # (1, RC_B)
-        best_val = best >> 5                            # floor(best / RING)
+        best_val = best >> RING_SHIFT                   # floor(best / RING)
         take = best_val > 0
         onehot = ok & (comb == best)
         pick = lambda w: jnp.sum(jnp.where(onehot, w[:], 0), axis=0,
@@ -114,9 +122,11 @@ def _dp_pallas(qp, rp, rcv, band: int, pcl: int, max_gap: int,
     rc_block = min(rc_block, RC)
     assert RC % rc_block == 0
     DBITS = dbits(L)
+    RING = ring_size(band)
     kern = functools.partial(
         _dp_kernel, L=L, band=band, pcl=pcl, max_gap=max_gap,
-        anchor_score=anchor_score, DBITS=DBITS)
+        anchor_score=anchor_score, DBITS=DBITS, RING=RING,
+        RING_SHIFT=int(np.log2(RING)))
     grid = (RC // rc_block,)
     spec = pl.BlockSpec((L, rc_block), lambda i: (0, i),
                         memory_space=pltpu.VMEM)

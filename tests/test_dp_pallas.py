@@ -27,10 +27,17 @@ def _random_rows(rng, L, RC, n_contigs=2, p_valid=0.85):
     return qp, rp, rcv
 
 
-@pytest.mark.parametrize("band,pcl,max_gap", [(20, 2500, 300), (5, 100, 50)])
-def test_pallas_dp_matches_scan(band, pcl, max_gap):
+@pytest.mark.parametrize("band,pcl,max_gap,L,RC", [
+    (20, 2500, 300, 64, 256),
+    (5, 100, 50, 64, 256),
+    # bands above 32 exercise the band-sized ring buffer (slow preset:
+    # 2500//30 = 83, medium: 2500//70 = 35); L > band so predecessors
+    # near the full band depth are reachable
+    (35, 2500, 300, 48, 128),
+    (83, 2500, 300, 96, 128),
+])
+def test_pallas_dp_matches_scan(band, pcl, max_gap, L, RC):
     rng = np.random.default_rng(42)
-    L, RC = 64, 256
     qp, rp, rcv = _random_rows(rng, L, RC)
     dd_s, root_s = _dp_scan(qp, rp, rcv, band, pcl, max_gap, 20, unroll=8)
     dd_p, root_p = _dp_pallas(qp, rp, rcv, band, pcl, max_gap, 20,
