@@ -23,11 +23,10 @@ import jax.numpy as jnp  # noqa: E402
 
 from skani_tpu import CommandParams, map_params_from_sketch  # noqa: E402
 from skani_tpu.kernels.device_pipeline import (DevicePairEngine,  # noqa: E402
-                                               _rank_queries, phase_a)
+                                               phase_a)
 
 STAGE_NAMES = {
     1: "join (searchsorted + hit gathers)",
-    2: "+ qpa mask & per-pair sort",
     3: "+ anchor expansion (fill + pos gathers)",
     4: "+ anchor 5-key sort",
     5: "+ closed-form chunking",
@@ -48,20 +47,20 @@ def main():
     mp = map_params_from_sketch(sketches[0], False, cp, None)
     dev = jax.devices()[0]
     print(f"device={dev}  R={eng.R} A={eng.A} K={eng.db.K} P={eng.db.P} "
-          f"C_CAP={eng.C_CAP} L_CAP={eng.L_CAP} band={mp.index_chain_band}")
+          f"C_CAP={eng.C_CAP} L_CAP={eng.L_CAP} band={mp.index_chain_band} "
+          f"mode={eng.gen_mode}", flush=True)
 
     n = len(sketches)
     a_idx = np.arange(eng.R, dtype=np.int32) % n
     b_idx = (np.arange(eng.R, dtype=np.int32) + 1) % n
     put = lambda x: jax.device_put(jnp.asarray(x), dev)
-    args = (eng.db.kmers, eng.db.starts, eng.db.counts, eng.db.pos,
-            eng.db.ctgc, eng.db.pos_kid, put(a_idx), put(b_idx))
+    args = (eng.db.arrays, put(a_idx), put(b_idx))
     kw = dict(A=eng.A, I_CAP=eng.I_CAP, C_CAP=eng.C_CAP, L_CAP=eng.L_CAP,
               band=mp.index_chain_band, fl=mp.fragment_length,
               pcl=min(mp.fragment_length // 2, mp.bp_chain_band),
               max_gap=mp.max_gap_length, anchor_score=mp.anchor_score,
               min_anchors=mp.min_anchors, min_score=mp.min_score,
-              use_pallas=dev.platform == "tpu")
+              use_pallas=dev.platform == "tpu", gen_mode=eng.gen_mode)
 
     prev = 0.0
     for stage in sorted(STAGE_NAMES):
@@ -75,24 +74,9 @@ def main():
             jax.tree_util.tree_map(np.asarray, out)
             best = min(best, time.perf_counter() - t0)
         print(f"stage {stage:2d} {STAGE_NAMES[stage]:42s} "
-              f"{best * 1e3:8.1f} ms  (+{(best - prev) * 1e3:7.1f} ms)")
+              f"{best * 1e3:8.1f} ms  (+{(best - prev) * 1e3:7.1f} ms)",
+              flush=True)
         prev = best
-
-    # phase B rank queries at a production-ish shape
-    ph = phase_a(*args, **kw)
-    qpa_c, qpa_p = ph[1]
-    qg = put(np.zeros((eng.R, 2048), np.int32))
-    qv = put(np.full((eng.R, 2048), 10_000, np.int32))
-    r = _rank_queries(qpa_c, qpa_p, qg, qv)
-    np.asarray(r)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = _rank_queries(qpa_c, qpa_p, qg, qv)
-        np.asarray(r)
-        best = min(best, time.perf_counter() - t0)
-    print(f"phase B  rank queries (R x 2048)              "
-          f"{best * 1e3:8.1f} ms")
 
     # empty roundtrip floor
     tiny = jax.jit(lambda x: x + 1)

@@ -18,6 +18,21 @@ from .chain import (AnchorChunks, ChainInterval, chain_anchors_dp,
 from .hashing import fastrand_usize_below_batch
 from .params import CHUNK_SIZE_DNA, MapParams
 
+TRACE = 5   # below logging.DEBUG; enabled by the CLI --trace flag
+
+
+def _trace(msg: str) -> None:
+    """Per-fragment trace dumps (reference: src/chain.rs:398-410)."""
+    import logging
+    log = logging.getLogger("skani_tpu")
+    if log.isEnabledFor(TRACE):
+        log.log(TRACE, msg)
+
+
+def _trace_enabled() -> bool:
+    import logging
+    return logging.getLogger("skani_tpu").isEnabledFor(TRACE)
+
 _f32 = np.float32
 
 
@@ -171,6 +186,15 @@ def calculate_ani(int_chunks: List[List[ChainInterval]], ref_sketch,
                 ani_ests.append((ani_est, len(seeds) // 6))
             else:
                 ani_ests.append((ani_est, anchors_considered))
+            if _trace_enabled():
+                ivs_repr = [(iv.interval_on_query, iv.interval_on_ref,
+                             iv.score, iv.num_anchors) for iv in intervals]
+                _trace(f"Ani est fragment {ani_est}, total range "
+                       f"({trq[0]}, {trq[1]}), total anchors "
+                       f"{total_anchors}, seeds in fragment {len(seeds)},")
+                _trace(f"Intervals {ivs_repr}, Num Anchors in Interval "
+                       f"{intervals[0].num_anchors if intervals else 0}, "
+                       f"Total Anchors {total_anchors}")
 
     return finalize_ani(ani_ests, total_query_bases, total_ref_range,
                         avg_chain_int_len, num_chains, ref_sketch,
@@ -316,10 +340,44 @@ def chain_seeds_native(ref_sketch, query_sketch,
     return ani
 
 
+def _debug_pair_line(ref_sketch, query_sketch, map_params) -> None:
+    """The reference's per-pair debug line (reference: src/chain.rs:725-737):
+    seed counts, anchor count after the repeat-band rules, and the naive
+    containment ANI estimate.  Computed only when -v is on."""
+    import logging
+
+    from .chain import compute_switch
+    log = logging.getLogger("skani_tpu")
+    if not log.isEnabledFor(logging.DEBUG):
+        return
+    sw = compute_switch(ref_sketch, query_sketch)
+    q, r = (ref_sketch, query_sketch) if sw else (query_sketch, ref_sketch)
+    band = map_params.index_chain_band
+    q_counts = np.diff(q.seed_starts)
+    r_counts = np.diff(r.seed_starts)
+    idx = np.searchsorted(r.seed_kmers, q.seed_kmers)
+    idx_c = np.minimum(idx, max(len(r.seed_kmers) - 1, 0))
+    shared = (len(r.seed_kmers) > 0) \
+        & (r.seed_kmers[idx_c] == q.seed_kmers)
+    ok = shared & (q_counts <= band) & (r_counts[idx_c] <= band)
+    hits = int(ok.sum())
+    anchors = int((q_counts[ok] * r_counts[idx_c][ok]).sum())
+    nq = max(len(q.seed_kmers), 1)
+    est = (hits / nq) ** (1.0 / map_params.k)
+    log.debug(
+        f"Ref seeds len {len(r.seed_kmers)}, Query seeds len "
+        f"{len(q.seed_kmers)}, Anchors {anchors}, Seeds hit query {hits}, "
+        f"Est {est}, Ref_file {ref_sketch.file_name}, Query_file "
+        f"{query_sketch.file_name}")
+
+
 def chain_seeds(ref_sketch, query_sketch,
                 map_params: MapParams) -> AniEstResult:
-    """Per-pair pipeline; dispatches to the native core when available."""
+    """Per-pair pipeline; dispatches to the native core when available.
+    Under --trace, the NumPy spec path is used so the per-fragment dumps
+    (reference: src/chain.rs:398-410) are emitted."""
     from . import native
-    if native.available():
+    _debug_pair_line(ref_sketch, query_sketch, map_params)
+    if native.available() and not _trace_enabled():
         return chain_seeds_native(ref_sketch, query_sketch, map_params)
     return chain_seeds_numpy(ref_sketch, query_sketch, map_params)

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_true",
                     help="Write separate .sketch files instead of a "
                          "consolidated database")
+    ps.add_argument("--shards", dest="shards", type=int, default=0,
+                    help="Record a shard manifest for an N-host fleet in "
+                         "the consolidated database (TPU multi-host "
+                         "extension; no effect on single-host use)")
     _add_presets(ps, small_genomes=False)
     _add_sketch_knobs(ps)
 
@@ -166,7 +170,8 @@ def _setup_logging(args):
     if getattr(args, "debug", False):
         level = logging.DEBUG
     if getattr(args, "trace", False):
-        level = logging.DEBUG
+        logging.addLevelName(5, "TRACE")
+        level = 5   # TRACE: per-fragment estimator dumps (ani.py)
     logging.basicConfig(stream=sys.stderr, level=level,
                         format="%(levelname)s [%(asctime)s] - %(message)s")
 
@@ -247,7 +252,7 @@ def parse_args_to_params(args):
             individual_contig_r=args.individual_contig,
             min_aligned_frac=0.0, both_min_aligned_frac=-0.01,
             max_results=1 << 62, separate_sketches=args.separate_sketches,
-            rescue_small=False, learned_ani=False)
+            rescue_small=False, learned_ani=False, shards=args.shards)
         return sp, cp
 
     if cmd == "dist":

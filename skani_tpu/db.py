@@ -425,3 +425,44 @@ def has_separate_sketches(database_dir: str) -> bool:
         return any(f.endswith(".sketch") for f in os.listdir(database_dir))
     except OSError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# shard manifest (multi-host cold start; no reference analog — the
+# reference is single-node.  SURVEY §5.8 / §7.5)
+# ---------------------------------------------------------------------------
+
+def shard_indices(n_genomes: int, n_shards: int, shard: int) -> List[int]:
+    """Round-robin genome ownership — matches MultiHostPairFleet /
+    ShardedPairFleet device ownership (genome g -> shard g % n)."""
+    return list(range(shard, n_genomes, n_shards)) if n_shards > 0 else []
+
+
+def write_shard_manifest(database_dir: str, n_shards: int) -> None:
+    """Record the shard layout in the consolidated DB so a multi-host
+    fleet can cold-start: each host reads shards.json, takes its
+    round-robin slice, and mmap-loads only those (offset, length) entries
+    from sketches.db."""
+    import json
+    with open(os.path.join(database_dir, "index.db"), "rb") as f:
+        r = _Reader(f.read())
+    n = r.u64()
+    manifest = {
+        "version": 1,
+        "n_shards": int(n_shards),
+        "n_genomes": int(n),
+        "assignment": "round_robin",
+    }
+    with open(os.path.join(database_dir, "shards.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def read_shard_manifest(database_dir: str):
+    """Returns the manifest dict, or None when the DB has no shard layout
+    (single-host DBs)."""
+    import json
+    path = os.path.join(database_dir, "shards.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -538,5 +538,9 @@ def sketch(command_params: CommandParams,
         writer.finalize()
         db.write_markers_bin(os.path.join(out_dir, "markers.bin"),
                              sketch_params, marker_sketches)
+        if command_params.shards > 0:
+            db.write_shard_manifest(out_dir, command_params.shards)
+            log.info(f"Shard manifest written for {command_params.shards} "
+                     f"hosts")
         log.info(f"Successfully wrote {count} sketches to consolidated "
                  f"database")

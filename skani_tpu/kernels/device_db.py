@@ -3,6 +3,30 @@
 Genome sketches are uploaded once as padded tensors and stay in HBM; pair
 batches index into them on device.  This is the layout the multi-host path
 shards along the genome axis (each host's chips hold a slice of the DB).
+
+Two position layouts coexist:
+
+* CSR (kmer-grouped) order — `pos`/`ctgc` parallel to the sorted kmer
+  table via `starts`/`counts`.  Within each kmer run, positions are sorted
+  by (contig, position): the anchor expansion walks a ref kmer's run in
+  order, so run-sortedness makes emitted anchors of one (query position,
+  ref kmer) block already reference-Ord sorted.
+* position-sorted order — `spos`/`sctgc`/`skid` sorted by (contig,
+  position) with the owning kmer slot id alongside.  Driving the anchor
+  expansion from THIS table emits anchors directly in the reference's
+  Anchor sort order (types.rs:499-506 Ord), eliminating the per-pair
+  5-key anchor sort entirely (see device_pipeline phase A).
+
+When every genome fits (position < 2^24, contigs < 128), both layouts are
+uploaded PRE-PACKED as single int32 words `ctgc << 24 | pos` (`apk` packed
+position-sorted, `bpk` packed CSR) so each anchor needs ONE gather per
+side instead of two.  `mode` selects what to upload:
+
+* "sorted_packed" — apk, bpk, skid (the fast path)
+* "sorted"        — spos, sctgc, skid + unpacked pos, ctgc
+* "legacy"        — unpacked pos, ctgc only (AAI mode, where 6-frame ORFs
+  can place two seeds at the same (contig, position) and the expansion
+  order would not be a total sort order; or out-of-range genomes)
 """
 from __future__ import annotations
 
@@ -15,23 +39,50 @@ import jax.numpy as jnp
 
 KMER_SENTINEL = np.uint32(0xFFFFFFFF)
 CTG_SENTINEL = np.int32(0x3FFFFFFF)
+PACK_POS_BITS = 24
+PACK_MAX_CTGS = 128
 
 
 def _round_up(x: int, step: int = 4096, floor: int = 4096) -> int:
     return max(floor, ((x + step - 1) // step) * step)
 
 
+def db_pack_ok(sketches: Sequence) -> bool:
+    """True when every genome's positions/contig counts fit the packed
+    int32 `ctgc << 24 | pos` word."""
+    for s in sketches:
+        if len(s.contig_lengths) > PACK_MAX_CTGS:
+            return False
+        if len(s.seed_pos) and int(s.seed_pos.max()) >= (1 << PACK_POS_BITS):
+            return False
+    return True
+
+
+def db_has_duplicate_positions(sketches: Sequence) -> bool:
+    """True if any genome has two seeds at the same (contig, position) —
+    possible in AAI mode (6-frame ORFs), never for DNA seeds."""
+    for s in sketches:
+        if len(s.seed_pos) == 0:
+            continue
+        packed = s.seed_contig.astype(np.int64) << 32 \
+            | s.seed_pos.astype(np.int64)
+        if len(np.unique(packed)) != len(packed):
+            return True
+    return False
+
+
 class DeviceDb:
     """Padded per-genome sketch tensors on device.
 
     K = padded unique-kmer count, P = padded seed-position count.
-    kmers are sorted ascending with KMER_SENTINEL padding; positions are in
-    CSR (kmer-grouped) order with a parallel kmer-id per position.
+    kmers are sorted ascending with KMER_SENTINEL padding.
     """
 
-    def __init__(self, sketches: Sequence, device=None):
+    def __init__(self, sketches: Sequence, device=None,
+                 mode: str = "legacy"):
         G = len(sketches)
         self.sketches = list(sketches)
+        self.mode = mode
         K = _round_up(max((len(s.seed_kmers) for s in sketches), default=16))
         P = _round_up(max((len(s.seed_pos) for s in sketches), default=16))
         self.max_n_pos = max((len(s.seed_pos) for s in sketches), default=16)
@@ -39,9 +90,12 @@ class DeviceDb:
         starts = np.zeros((G, K), dtype=np.int32)
         counts = np.zeros((G, K), dtype=np.int32)
         pos = np.zeros((G, P), dtype=np.int32)
-        ctg = np.full((G, P), CTG_SENTINEL, dtype=np.int32)
-        canon = np.zeros((G, P), dtype=bool)
-        pos_kid = np.zeros((G, P), dtype=np.int32)
+        ctgc = np.full((G, P), CTG_SENTINEL * 2, dtype=np.int32)
+        srt = mode in ("sorted", "sorted_packed")
+        if srt:
+            spos = np.zeros((G, P), dtype=np.int32)
+            sctgc = np.full((G, P), CTG_SENTINEL * 2, dtype=np.int32)
+            skid = np.zeros((G, P), dtype=np.int32)
         # contig-id packing (contig*2 + canonical bit, and contig*4 + flags
         # on device) requires small contig indices
         max_ctgs = max((len(s.contig_lengths) for s in sketches), default=0)
@@ -54,11 +108,20 @@ class DeviceDb:
             kmers[g, :nk] = s.seed_kmers
             starts[g, :nk] = s.seed_starts[:-1]
             counts[g, :nk] = np.diff(s.seed_starts)
-            pos[g, :npos] = s.seed_pos
-            ctg[g, :npos] = s.seed_contig
-            canon[g, :npos] = s.seed_canon
-            pos_kid[g, :npos] = np.repeat(
-                np.arange(nk, dtype=np.int32), np.diff(s.seed_starts))
+            kid = np.repeat(np.arange(nk, dtype=np.int32),
+                            np.diff(s.seed_starts))
+            # CSR with runs sorted by (contig, position) — see module doc
+            order = np.lexsort((s.seed_pos, s.seed_contig, kid))
+            p = s.seed_pos[order].astype(np.int64)
+            c2 = (s.seed_contig[order].astype(np.int32) * 2
+                  + s.seed_canon[order].astype(np.int32))
+            pos[g, :npos] = p
+            ctgc[g, :npos] = c2
+            if srt:
+                sorder = np.lexsort((p, c2 >> 1))
+                spos[g, :npos] = p[sorder]
+                sctgc[g, :npos] = c2[sorder]
+                skid[g, :npos] = kid[order][sorder]
             n_kmers[g] = nk
             n_pos[g] = npos
         self.K, self.P, self.G = K, P, G
@@ -67,12 +130,30 @@ class DeviceDb:
         self.kmers = put(kmers)
         self.starts = put(starts)
         self.counts = put(counts)
-        self.pos = put(pos)
-        self.ctg = put(ctg)
-        self.canon = put(canon)
-        # packed per-position (contig << 1 | canonical): one gather instead
-        # of two in the anchor-expansion hot path
-        self.ctgc = put(ctg * 2 + canon.astype(np.int32))
-        self.pos_kid = put(pos_kid)
         self.n_kmers = put(n_kmers)
         self.n_pos = put(n_pos)
+        if mode == "sorted_packed":
+            self.apk = put((sctgc << PACK_POS_BITS) | spos)
+            self.bpk = put((ctgc << PACK_POS_BITS) | pos)
+            self.skid = put(skid)
+            self.arrays = dict(kmers=self.kmers, starts=self.starts,
+                               counts=self.counts, apk=self.apk,
+                               bpk=self.bpk, skid=self.skid,
+                               n_pos=self.n_pos)
+        elif mode == "sorted":
+            self.pos = put(pos)
+            self.ctgc = put(ctgc)
+            self.spos = put(spos)
+            self.sctgc = put(sctgc)
+            self.skid = put(skid)
+            self.arrays = dict(kmers=self.kmers, starts=self.starts,
+                               counts=self.counts, pos=self.pos,
+                               ctgc=self.ctgc, spos=self.spos,
+                               sctgc=self.sctgc, skid=self.skid,
+                               n_pos=self.n_pos)
+        else:
+            self.pos = put(pos)
+            self.ctgc = put(ctgc)
+            self.arrays = dict(kmers=self.kmers, starts=self.starts,
+                               counts=self.counts, pos=self.pos,
+                               ctgc=self.ctgc)

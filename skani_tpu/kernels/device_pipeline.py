@@ -29,10 +29,11 @@ device-resident DeviceDb:
     * row-local lookups route through an MXU one-hot gather kernel
       (kernels/gather_pallas.py) on TPU;
     * ALL outputs packed into one int32 tensor (one host roundtrip).
-  host: greedy overlap resolution + per-chunk aggregation (native C++),
-    which emits seed-rank queries.
-  phase B (one jit): batched lexicographic rank queries against the
-    device-side per-pair seed-position table.
+  host: greedy overlap resolution + per-chunk aggregation (native C++);
+    the seed-rank queries it emits are answered from HOST-side sorted
+    position tables (kernels/rank_host.py: rank_all - rank_own_repeats -
+    rank_shared_banned, pair-independent except for a tiny banned set), so
+    there is no second device round trip per batch.
 
   run_pairs drains a shared work queue from both ends: device batches from
   the front (two in flight), optional host C++ worker threads stealing
@@ -104,23 +105,22 @@ def _chk(*xs):
     jax.jit,
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score",
-                     "use_pallas", "stage"))
-def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
-            db_pos_kid,
-            a_idx, b_idx,
+                     "use_pallas", "gen_mode", "stage"))
+def phase_a(db, a_idx, b_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
-            min_score: float, use_pallas: bool = False, stage: int = 99):
+            min_score: float, use_pallas: bool = False,
+            gen_mode: str = "legacy", stage: int = 99):
     R = a_idx.shape[0]
-    K = db_kmers.shape[1]
-    P = db_pos.shape[1]
+    K = db["kmers"].shape[1]
+    P = (db["apk"] if gen_mode == "sorted_packed" else db["pos"]).shape[1]
 
-    ak = db_kmers[a_idx]          # (R, K)
-    bk = db_kmers[b_idx]
-    a_cnt = db_counts[a_idx]
-    b_cnt = db_counts[b_idx]
-    a_start = db_starts[a_idx]
-    b_start = db_starts[b_idx]
+    ak = db["kmers"][a_idx]       # (R, K)
+    bk = db["kmers"][b_idx]
+    a_cnt = db["counts"][a_idx]
+    b_cnt = db["counts"][b_idx]
+    a_start = db["starts"][a_idx]
+    b_start = db["starts"][b_idx]
 
     def rg(table, index):
         """Row gather: MXU one-hot kernel when shapes allow, XLA flat
@@ -154,75 +154,128 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     if stage == 1:   # join only
         return _chk(hit, b_cnt_hit, b_start_hit, pair_ok)
 
-    # query-position table mask
-    qpa_kmer_ok = a_ok & ~(hit & (b_cnt_hit > band))
-    pos_kid_a = db_pos_kid[a_idx]
-    qpa_keep = rg(qpa_kmer_ok.astype(jnp.int32), pos_kid_a).astype(bool)
-    pos_a = db_pos[a_idx]
-    ctgc_a = db_ctgc[a_idx]       # packed contig*2 + canonical
-    ctg_a = ctgc_a >> 1
-    qpa_keep &= ctg_a != CTG_SENTINEL
+    # (the per-pair kept-position rank table that used to be sorted here is
+    # now answered host-side — kernels/rank_host.py — as
+    # rank_all - rank_own_repeats - rank_shared_banned, all of which are
+    # pair-independent or tiny; phase B and its device round trip are gone)
 
-    qpa_ctg_s, qpa_pos_s = jax.lax.sort(
-        (jnp.where(qpa_keep, ctg_a, I32MAX),
-         jnp.where(qpa_keep, pos_a, I32MAX)),
-        dimension=1, num_keys=2)
-    if stage == 2:   # + qpa mask & sort
-        return _chk(pair_ok, qpa_ctg_s, qpa_pos_s)
-
-    # --- anchor expansion ---
-    # slot -> kmer assignment: scatter each emitting kmer's id at its first
-    # output slot, then forward-fill with cummax (offsets strictly increase
-    # across emitting kmers, so each slot sees the right kmer).
-    pair_counts = jnp.where(pair_ok, a_cnt * b_cnt_hit, 0)
-    offs = jnp.cumsum(pair_counts, axis=1) - pair_counts
-    total = offs[:, -1] + pair_counts[:, -1]
     slots = jnp.arange(A, dtype=jnp.int32)[None, :]
     rowi = jnp.arange(R)[:, None]
-    kcols = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (R, K))
-    emit = pair_ok & (pair_counts > 0) & (offs < A)
-    g = jnp.full((R, A), -1, jnp.int32).at[
-        rowi, jnp.where(emit, offs, A)].max(kcols, mode="drop")
-    g = jnp.clip(jax.lax.cummax(g, axis=1), 0, K - 1)
-    anchor_valid = slots < jnp.minimum(total, A)[:, None]
-    # the big (R, A)-index gathers route through the MXU one-hot kernel on
-    # TPU (~2x the XLA gather); fuse the per-kmer lookups into as few of
-    # them as possible: (offset, count) pack into one int32; (a_start,
-    # b_start) pack when the position table is small enough (16+16 bits)
-    pk_oc = (jnp.minimum(offs, A) << 12) | jnp.minimum(b_cnt_hit, 4095)
-    oc = rg(pk_oc, g)
-    rank = slots - (oc >> 12)
-    bc = jnp.maximum(oc & 4095, 1)
-    if P <= 65536:
-        pk_ab = (a_start << 16) | b_start_hit
-        ab = rg(pk_ab, g)
-        a_start_g = (ab >> 16) & 0xFFFF
-        b_start_g = ab & 0xFFFF
+
+    if gen_mode == "legacy":
+        # --- anchor expansion in KMER order + 5-key sort ---
+        # slot -> kmer assignment: scatter each emitting kmer's id at its
+        # first output slot, then forward-fill with cummax (offsets strictly
+        # increase across emitting kmers, so each slot sees the right kmer).
+        pos_a = db["pos"][a_idx]
+        ctgc_a = db["ctgc"][a_idx]    # packed contig*2 + canonical
+        pair_counts = jnp.where(pair_ok, a_cnt * b_cnt_hit, 0)
+        offs = jnp.cumsum(pair_counts, axis=1) - pair_counts
+        total = offs[:, -1] + pair_counts[:, -1]
+        kcols = jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :], (R, K))
+        emit = pair_ok & (pair_counts > 0) & (offs < A)
+        g = jnp.full((R, A), -1, jnp.int32).at[
+            rowi, jnp.where(emit, offs, A)].max(kcols, mode="drop")
+        g = jnp.clip(jax.lax.cummax(g, axis=1), 0, K - 1)
+        anchor_valid = slots < jnp.minimum(total, A)[:, None]
+        # the big (R, A)-index gathers route through the MXU one-hot kernel
+        # on TPU (~2x the XLA gather); fuse the per-kmer lookups into as few
+        # of them as possible: (offset, count) pack into one int32;
+        # (a_start, b_start) pack when the position table is small (16+16)
+        pk_oc = (jnp.minimum(offs, A) << 12) | jnp.minimum(b_cnt_hit, 4095)
+        oc = rg(pk_oc, g)
+        rank = slots - (oc >> 12)
+        bc = jnp.maximum(oc & 4095, 1)
+        if P <= 65536:
+            pk_ab = (a_start << 16) | b_start_hit
+            ab = rg(pk_ab, g)
+            a_start_g = (ab >> 16) & 0xFFFF
+            b_start_g = ab & 0xFFFF
+        else:
+            a_start_g = rg(a_start, g)
+            b_start_g = rg(b_start_hit, g)
+        arow = jnp.clip(a_start_g + rank // bc, 0, P - 1)
+        brow = jnp.clip(b_start_g + rank % bc, 0, P - 1)
+
+        pos_b = db["pos"][b_idx]
+        ctgc_b = db["ctgc"][b_idx]
+        qp = jnp.where(anchor_valid, rg(pos_a, arow), I32MAX)
+        qcc = rg(ctgc_a, arow)
+        rp = jnp.where(anchor_valid, rg(pos_b, brow), I32MAX)
+        rcc = rg(ctgc_b, brow)
+        qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
+        rc = jnp.where(anchor_valid, rcc >> 1, I32MAX)
+        rev = ((qcc & 1) != (rcc & 1)) & anchor_valid
+        if stage == 3:   # + anchor expansion
+            return _chk(qp, rp, qc, rc, rev)
+
+        # --- anchor sort (reference: src/types.rs:499-506 Ord) ---
+        qc, qp, rc, rp, rev_s, anchor_valid = jax.lax.sort(
+            (qc, qp, rc, rp, rev.astype(jnp.int32), anchor_valid),
+            dimension=1, num_keys=5)
+        rev = rev_s.astype(bool)
+        if stage == 4:   # + anchor sort
+            return _chk(qc, qp, rc, rp, rev)
     else:
-        a_start_g = rg(a_start, g)
-        b_start_g = rg(b_start_hit, g)
-    arow = jnp.clip(a_start_g + rank // bc, 0, P - 1)
-    brow = jnp.clip(b_start_g + rank % bc, 0, P - 1)
-
-    pos_b = db_pos[b_idx]
-    ctgc_b = db_ctgc[b_idx]
-    qp = jnp.where(anchor_valid, rg(pos_a, arow), I32MAX)
-    qcc = rg(ctgc_a, arow)
-    rp = jnp.where(anchor_valid, rg(pos_b, brow), I32MAX)
-    rcc = rg(ctgc_b, brow)
-    qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
-    rc = jnp.where(anchor_valid, rcc >> 1, I32MAX)
-    rev = ((qcc & 1) != (rcc & 1)) & anchor_valid
-    if stage == 3:   # + anchor expansion
-        return _chk(qp, rp, qc, rc, rev, qpa_ctg_s)
-
-    # --- anchor sort (reference: src/types.rs:499-506 Ord) ---
-    qc, qp, rc, rp, rev_s, anchor_valid = jax.lax.sort(
-        (qc, qp, rc, rp, rev.astype(jnp.int32), anchor_valid),
-        dimension=1, num_keys=5)
-    rev = rev_s.astype(bool)
-    if stage == 4:   # + anchor sort
-        return _chk(qc, qp, rc, rp, rev, qpa_ctg_s)
+        # --- anchor expansion in SORTED order (no anchor sort needed) ---
+        # The expansion walks the query's (contig, position)-sorted seed
+        # table; each position's anchors are its ref kmer run (itself
+        # (contig, position)-sorted — device_db sorts CSR runs), so emitted
+        # anchors are ALREADY in the reference's Anchor Ord
+        # (types.rs:499-506).  DNA seeds have unique (contig, position), so
+        # this order is total; AAI mode uses the legacy path.
+        skid_a = db["skid"][a_idx]                     # (R, P)
+        n_pos_a = db["n_pos"][a_idx][:, None]
+        pcols = jnp.broadcast_to(
+            jnp.arange(P, dtype=jnp.int32)[None, :], (R, P))
+        valid_p = pcols < n_pos_a
+        # per-kmer join word -> position domain (one row-local gather);
+        # b_start < 2^19 (engine guards P), count <= band < 2^12
+        jw = jnp.where(pair_ok, (b_start_hit << 12) | b_cnt_hit, 0)
+        jw_p = jnp.where(valid_p, rg(jw, skid_a), 0)
+        cnt_p = jw_p & 0xFFF
+        offs_p = jnp.cumsum(cnt_p, axis=1) - cnt_p
+        total = offs_p[:, -1] + cnt_p[:, -1]
+        emit = (cnt_p > 0) & (offs_p < A)
+        # fill word (source position << 12 | count): strictly increasing
+        # across emitting positions, so one cummax forward-fills each
+        # anchor block; block starts recover the intra-block rank without
+        # a second lookup
+        fillw = (pcols << 12) | cnt_p
+        fw = jnp.full((R, A), -1, jnp.int32).at[
+            rowi, jnp.where(emit, offs_p, A)].max(
+                jnp.where(emit, fillw, -1), mode="drop")
+        fw = jax.lax.cummax(fw, axis=1)
+        anchor_valid = slots < jnp.minimum(total, A)[:, None]
+        g = jnp.clip(fw >> 12, 0, P - 1)
+        prev_fw = jnp.concatenate(
+            [jnp.full((R, 1), -2, jnp.int32), fw[:, :-1]], axis=1)
+        block_start = jax.lax.cummax(
+            jnp.where(fw != prev_fw, slots, 0), axis=1)
+        rank = slots - block_start
+        bs = rg(jw_p >> 12, g)
+        brow = jnp.clip(bs + rank, 0, P - 1)
+        if gen_mode == "sorted_packed":
+            # ONE gather per side: positions pre-packed as ctgc<<24 | pos
+            aw = rg(db["apk"][a_idx], g)
+            bw = rg(db["bpk"][b_idx], brow)
+            qp_r = aw & 0xFFFFFF
+            qcc = (aw >> 24) & 0xFF
+            rp_r = bw & 0xFFFFFF
+            rcc = (bw >> 24) & 0xFF
+        else:
+            qp_r = rg(db["spos"][a_idx], g)
+            qcc = rg(db["sctgc"][a_idx], g)
+            rp_r = rg(db["pos"][b_idx], brow)
+            rcc = rg(db["ctgc"][b_idx], brow)
+        qp = jnp.where(anchor_valid, qp_r, I32MAX)
+        rp = jnp.where(anchor_valid, rp_r, I32MAX)
+        qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
+        rc = jnp.where(anchor_valid, rcc >> 1, I32MAX)
+        rev = ((qcc ^ rcc) & 1).astype(bool) & anchor_valid
+        if stage in (3, 4):   # + anchor expansion (already sorted)
+            return _chk(qc, qp, rc, rp, rev)
 
     # --- closed-form fragment chunking (see module docstring) ---
     cols = jnp.broadcast_to(jnp.arange(A, dtype=jnp.int32)[None, :], (R, A))
@@ -276,7 +329,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
                            jnp.clip(last_cid, 0, C_CAP - 1)].set(
         jnp.where(last_cid >= 0, last_qp, -1))
     if stage == 5:   # + chunking
-        return _chk(cid, chunk_hi, chunk_ctg, chunk_new_ctg, qpa_ctg_s)
+        return _chk(cid, chunk_hi, chunk_ctg, chunk_new_ctg)
 
     # --- regroup anchors to rows-per-chunk for the DP ---
     chunk_first = jnp.full((R, C_CAP + 1), BIG, jnp.int32).at[
@@ -306,7 +359,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
     grcv = scatter_t(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
     if stage == 6:   # + DP regroup scatters
-        return _chk(gqp, grp, grcv, qpa_ctg_s)
+        return _chk(gqp, grp, grcv)
 
     # --- banded chaining DP (reference: src/chain.rs:838-896) ---
     # Pallas kernel on TPU, lax.scan elsewhere; the scan PROPAGATES each
@@ -315,7 +368,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     dd, root = dp_chain(gqp, grp, grcv, band, pcl, max_gap, anchor_score,
                         use_pallas=use_pallas)
     if stage == 7:   # + chaining DP
-        return _chk(dd, root, qpa_ctg_s)
+        return _chk(dd, root)
 
     # --- chain extraction in the COMPACT domain (src/chain.rs:939-1007) ---
     # Bring DP results back to the compact (R, A) anchor layout with two
@@ -330,7 +383,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     # root's compact column is elementwise arithmetic — no lookup table:
     root_cid = cols - col_in_chunk + root_pad
     if stage == 8:   # + extraction gathers (padded -> compact)
-        return _chk(dd_c, root_cid, qpa_ctg_s)
+        return _chk(dd_c, root_cid)
 
     valid_c = ok_place
     DBITS = _ceil_log2(L_CAP + 1)   # matches dp_pallas.dbits(L_CAP)
@@ -387,7 +440,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
     ir1 = jnp.maximum(c_rp, b_rp)
     overflow |= jnp.sum(good, axis=1) > I_CAP
     if stage == 9:   # + extraction sorts
-        return _chk(good, iq0, iq1, ir0, ir1, qpa_ctg_s)
+        return _chk(good, iq0, iq1, ir0, ir1)
 
     # --- compact intervals per PAIR and pack everything into one i32 ---
     # score (<=15 bits), anchor count (<=DBITS+1), chunk id, good and rev
@@ -413,31 +466,7 @@ def phase_a(db_kmers, db_starts, db_counts, db_pos, db_ctgc,
         chunk_hi, chunk_ctg, chunk_new_ctg.astype(jnp.int32),
         scalars,
     ], axis=1)
-    return packed_out, (qpa_ctg_s, qpa_pos_s)
-
-
-# ---------------------------------------------------------------------------
-# phase B: batched lexicographic rank queries
-# rank(row, g, v) = #{p in qpa_row : (ctg_p, pos_p) <= (g, v)}
-# ---------------------------------------------------------------------------
-
-@jax.jit
-def _rank_queries(qpa_ctg_s, qpa_pos_s, qg, qv):
-    R, P = qpa_ctg_s.shape
-    Q = qg.shape[1]
-    lo = jnp.zeros((R, Q), jnp.int32)
-    hi = jnp.full((R, Q), P, jnp.int32)
-    steps = int(np.ceil(np.log2(max(P, 2)))) + 1
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        midc = jnp.clip(mid, 0, P - 1)
-        c = _row_gather(qpa_ctg_s, midc)
-        p = _row_gather(qpa_pos_s, midc)
-        le = (c < qg) | ((c == qg) & (p <= qv))
-        le &= mid < P
-        lo = jnp.where(le, mid + 1, lo)
-        hi = jnp.where(le, hi, mid)
-    return lo
+    return packed_out
 
 
 # ---------------------------------------------------------------------------
@@ -453,9 +482,25 @@ class DevicePairEngine:
                  model=None, batch: int = 12,
                  i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768,
                  device=None):
+        from .device_db import db_has_duplicate_positions, db_pack_ok
+
         self.sketches = list(sketches)
         self.device = device
-        self.db = DeviceDb(self.sketches, device=device)
+        # anchor generation mode (see device_db module doc): sorted-order
+        # generation skips the per-pair anchor sort but requires a total
+        # (contig, position) order (not AAI) and b_start < 2^19 for the
+        # join-word packing; the packed variant additionally needs
+        # positions < 2^24 and < 128 contigs
+        max_pos_count = max((len(s.seed_pos) for s in sketches), default=0)
+        if getattr(sketch_params, "use_aa", False) \
+                or max_pos_count >= (1 << 19) \
+                or db_has_duplicate_positions(sketches):
+            self.gen_mode = "legacy"
+        elif db_pack_ok(sketches):
+            self.gen_mode = "sorted_packed"
+        else:
+            self.gen_mode = "sorted"
+        self.db = DeviceDb(self.sketches, device=device, mode=self.gen_mode)
         self.sketch_params = sketch_params
         self.command_params = command_params
         self.model = model
@@ -496,8 +541,7 @@ class DevicePairEngine:
         dev = self.device or jax.devices()[0]
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
         return phase_a(
-            self.db.kmers, self.db.starts, self.db.counts, self.db.pos,
-            self.db.ctgc, self.db.pos_kid,
+            self.db.arrays,
             put(a_idx), put(b_idx),
             A=self.A, I_CAP=self.I_CAP, C_CAP=self.C_CAP,
             L_CAP=self.L_CAP,
@@ -505,21 +549,22 @@ class DevicePairEngine:
             pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
             max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
             min_anchors=mp0.min_anchors, min_score=mp0.min_score,
-            use_pallas=dev.platform == "tpu")
+            use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode)
 
     def _host_process(self, group, packed):
-        """Per-batch host stage: unpack, overlap-resolve, emit rank queries."""
+        """Per-batch host stage: unpack, overlap-resolve, answer the seed-
+        rank queries from the host-side tables (kernels/rank_host.py)."""
         from .. import native
+        from . import rank_host
 
         (iv_all, chunk_hi, chunk_ctg, chunk_new, n_chunks_v,
          _n_anchors, overflow) = self._unpack(packed)
-        batch_q = []
+        ranks = []
         batch_recs = []
-        for w, (_t, _a, _b, sw, mp, ri, _qi) in enumerate(group):
+        for w, (_t, a, b, sw, mp, ri, _qi) in enumerate(group):
             if overflow[w]:
                 batch_recs.append(None)
-                batch_q.append((np.zeros(0, np.int32),
-                                np.zeros(0, np.int32)))
+                ranks.append(None)
                 continue
             m = iv_all["valid"][w].astype(bool)
             nm = int(m.sum())
@@ -545,17 +590,10 @@ class DevicePairEngine:
                 mp.k, int(self.sketches[ri].c), sw,
                 mp.amino_acid, mp.min_length_cover)
             batch_recs.append((recs, totals))
-            batch_q.append((qc, qv))
-        # pad rank queries to a power-of-2 bucket so _rank_queries reuses
-        # its compiled executable across batches
-        qc_max = max(max((len(q[0]) for q in batch_q), default=0), 128)
-        QC = 1 << _ceil_log2(qc_max)
-        qg = np.zeros((self.R, QC), dtype=np.int32)
-        qv_arr = np.full((self.R, QC), -1, dtype=np.int32)
-        for w, (qc_a, qv_a) in enumerate(batch_q):
-            qg[w, :len(qc_a)] = qc_a
-            qv_arr[w, :len(qv_a)] = qv_a
-        return batch_recs, qg, qv_arr
+            ranks.append(rank_host.rank_queries(
+                self.sketches[a], self.sketches[b], mp.index_chain_band,
+                np.asarray(qc), np.asarray(qv)))
+        return batch_recs, ranks
 
     def _finalize_batch(self, group, batch_recs, ranks, out):
         from ..ani import chain_seeds_native, finalize_ani
@@ -676,14 +714,9 @@ class DevicePairEngine:
 
         def process(entry):
             group, ph = entry
-            packed = np.asarray(ph[0])
-            qpa_c, qpa_p = ph[1]
-            batch_recs, qg, qv_arr = self._host_process(group, packed)
-            dev = self.device or jax.devices()[0]
-            ranks_d = _rank_queries(qpa_c, qpa_p,
-                                    jax.device_put(jnp.asarray(qg), dev),
-                                    jax.device_put(jnp.asarray(qv_arr), dev))
-            self._finalize_batch(group, batch_recs, np.asarray(ranks_d), out)
+            packed = np.asarray(ph)
+            batch_recs, ranks = self._host_process(group, packed)
+            self._finalize_batch(group, batch_recs, ranks, out)
 
         workers = []
         if host_workers > 0 and len(meta) > 2 * self.R:

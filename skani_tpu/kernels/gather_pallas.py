@@ -50,7 +50,7 @@ def _kern(t_ref, i_ref, o_ref, *, KB, BR):
     jax.lax.fori_loop(0, BR, body, 0)
 
 
-def mxu_row_gather(table, idx):
+def mxu_row_gather(table, idx, interpret: bool = False):
     """take_along_axis(table, idx, axis=1) on the MXU.  Requires the table
     width to be a multiple of 128 and the index width a multiple of 1024
     (both hold for DeviceDb's 4096-padded tensors); indices must be in
@@ -71,4 +71,5 @@ def mxu_row_gather(table, idx):
         out_specs=pl.BlockSpec((BR, AT), lambda r, a: (r, a),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, A), jnp.int32),
+        interpret=interpret,
     )(table, idx)

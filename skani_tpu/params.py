@@ -144,6 +144,7 @@ class CommandParams:
     separate_sketches: bool = False
     short_header: bool = False
     threads: int = 3                 # reference: src/cli.rs:41-42 (-t)
+    shards: int = 0                  # multi-host DB shard manifest (TPU ext)
 
 
 @dataclasses.dataclass
