@@ -62,8 +62,11 @@ def main():
               min_anchors=mp.min_anchors, min_score=mp.min_score,
               use_pallas=dev.platform == "tpu", gen_mode=eng.gen_mode)
 
+    sel = os.environ.get("PROFILE_STAGES")
+    stages = ([int(x) for x in sel.split(",")] if sel
+              else sorted(STAGE_NAMES))
     prev = 0.0
-    for stage in sorted(STAGE_NAMES):
+    for stage in stages:
         # warmup/compile
         out = phase_a(*args, stage=stage, **kw)
         jax.tree_util.tree_map(np.asarray, out)

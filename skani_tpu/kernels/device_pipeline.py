@@ -532,18 +532,32 @@ class DevicePairEngine:
         return iv, chunk_hi, chunk_ctg, chunk_new, n_chunks, n_anchors, \
             overflow
 
+    def _bucket_a(self, ri: int, qi: int) -> int:
+        """Anchor-buffer size for one pair: the smallest power-of-two
+        bucket covering ~1.15x the larger seed-position count, so small
+        genomes in a heterogeneous DB don't pay the global max's padded
+        (R, A) domain.  A pair only drops to a smaller bucket when that
+        saves >= 4x — each distinct bucket is a separate phase_a
+        compilation, so the shape set is kept tiny."""
+        need = int(1.15 * max(len(self.sketches[ri].seed_pos),
+                              len(self.sketches[qi].seed_pos)))
+        b = 8192
+        while b < need:
+            b *= 2
+        return b if 4 * b <= self.A else self.A
+
     def _dispatch_phase_a(self, group, mp0):
         a_idx = np.zeros(self.R, dtype=np.int32)
         b_idx = np.zeros(self.R, dtype=np.int32)
-        for w, (_t, a, b, _sw, _mp, _ri, _qi) in enumerate(group):
-            a_idx[w] = a
-            b_idx[w] = b
+        for w, item in enumerate(group):
+            a_idx[w] = item[1]
+            b_idx[w] = item[2]
         dev = self.device or jax.devices()[0]
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
         return phase_a(
             self.db.arrays,
             put(a_idx), put(b_idx),
-            A=self.A, I_CAP=self.I_CAP, C_CAP=self.C_CAP,
+            A=group[0][7], I_CAP=self.I_CAP, C_CAP=self.C_CAP,
             L_CAP=self.L_CAP,
             band=mp0.index_chain_band, fl=mp0.fragment_length,
             pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
@@ -561,7 +575,7 @@ class DevicePairEngine:
          _n_anchors, overflow) = self._unpack(packed)
         ranks = []
         batch_recs = []
-        for w, (_t, a, b, sw, mp, ri, _qi) in enumerate(group):
+        for w, (_t, a, b, sw, mp, ri, _qi, _ba) in enumerate(group):
             if overflow[w]:
                 batch_recs.append(None)
                 ranks.append(None)
@@ -599,7 +613,7 @@ class DevicePairEngine:
         from ..ani import chain_seeds_native, finalize_ani
         from ..gbdt import predict_from_ani_res
 
-        for w, (t, _a, _b, sw, mp, ri, qi) in enumerate(group):
+        for w, (t, _a, _b, sw, mp, ri, qi, _ba) in enumerate(group):
             ref = self.sketches[ri]
             q = self.sketches[qi]
             if batch_recs[w] is None:
@@ -678,7 +692,10 @@ class DevicePairEngine:
                 seen[(ri, qi)] = t
             sw = compute_switch(ref, q)
             meta.append((t, ri if sw else qi, qi if sw else ri, sw, mp,
-                         ri, qi))
+                         ri, qi, self._bucket_a(ri, qi)))
+        # group same-bucket pairs so each device batch compiles/runs at its
+        # own (R, A) shape; stable sort keeps input order within a bucket
+        meta.sort(key=lambda m: m[7])
 
         lock = threading.Lock()
         lo_hi = [0, len(meta)]   # [front, back) of the shared work queue
@@ -687,6 +704,8 @@ class DevicePairEngine:
             with lock:
                 lo = lo_hi[0]
                 hi = min(lo + n, lo_hi[1])
+                while hi > lo + 1 and meta[hi - 1][7] != meta[lo][7]:
+                    hi -= 1     # stop at a bucket boundary
                 lo_hi[0] = hi
                 return meta[lo:hi]
 
@@ -704,7 +723,7 @@ class DevicePairEngine:
                 item = take_back()
                 if item is None:
                     return
-                t, _a, _b, _sw, mp, ri, qi = item
+                t, _a, _b, _sw, mp, ri, qi, _ba = item
                 try:
                     out[t] = chain_seeds_native(self.sketches[ri],
                                                 self.sketches[qi], mp)
