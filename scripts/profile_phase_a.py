@@ -32,8 +32,8 @@ STAGE_NAMES = {
     5: "+ closed-form chunking",
     6: "+ DP regroup scatters",
     7: "+ chaining DP",
-    8: "+ extraction gathers",
-    9: "+ extraction sorts",
+    8: "+ extraction gather (padded->compact)",
+    9: "+ chain aggregation scatters",
     99: "full (compaction + pack)",
 }
 

@@ -40,7 +40,11 @@ import jax.numpy as jnp
 KMER_SENTINEL = np.uint32(0xFFFFFFFF)
 CTG_SENTINEL = np.int32(0x3FFFFFFF)
 PACK_POS_BITS = 24
-PACK_MAX_CTGS = 128
+# < 64 contigs so the packed-DP layout rc << 25 | rp keeps cross-contig
+# position distances above every chaining threshold (see dp_pallas packed
+# variant); genomes with more contigs use the unpacked "sorted" layout
+PACK_MAX_CTGS = 64
+PACK_RC_SHIFT = 25
 
 
 def _round_up(x: int, step: int = 4096, floor: int = 4096) -> int:

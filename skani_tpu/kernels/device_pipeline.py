@@ -69,8 +69,8 @@ jax.config.update("jax_compilation_cache_dir",
                                  os.path.expanduser("~/.cache/skani_jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from .device_db import CTG_SENTINEL, DeviceDb
-from .dp_pallas import dp_chain
+from .device_db import CTG_SENTINEL, PACK_RC_SHIFT, DeviceDb
+from .dp_pallas import dp_chain, dp_chain_packed
 from .gather_pallas import mxu_row_gather
 
 I32MAX = np.int32(2 ** 31 - 1)
@@ -354,41 +354,59 @@ def phase_a(db, a_idx, b_idx,
         return buf.at[flat_col, flat_row].set(vals.reshape(-1),
                                               mode="drop")[:, :RC]
 
-    gqp = scatter_t(qp, I32MAX)
-    grp = scatter_t(rp, I32MAX)
-    # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
-    grcv = scatter_t(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
-    if stage == 6:   # + DP regroup scatters
-        return _chk(gqp, grp, grcv)
-
     # --- banded chaining DP (reference: src/chain.rs:838-896) ---
     # Pallas kernel on TPU, lax.scan elsewhere; the scan PROPAGATES each
     # anchor's chain root (padded anchor index) and depth through the band
     # ring buffer, which makes V2's post-DP pointer-chasing unnecessary.
-    dd, root = dp_chain(gqp, grp, grcv, band, pcl, max_gap, anchor_score,
-                        use_pallas=use_pallas)
-    if stage == 7:   # + chaining DP
-        return _chk(dd, root)
-
-    # --- chain extraction in the COMPACT domain (src/chain.rs:939-1007) ---
-    # Bring DP results back to the compact (R, A) anchor layout with two
-    # flat gathers, then aggregate per chain with SORTS (sorts and cum-scans
-    # are far cheaper than scatters/gathers at these shapes).
+    # dp_packed (sorted_packed DBs with small L_CAP): two packed scatter_t
+    # inputs instead of three, ONE packed DP output word, ONE padded->
+    # compact extraction gather instead of two.
+    dp_packed = (gen_mode == "sorted_packed"
+                 and L_CAP * int(anchor_score) < (1 << (32 - 2 * _ceil_log2(L_CAP))))
     dest = flat_col * RC + jnp.minimum(flat_row, RC - 1)  # compact->padded
     dest_c = dest.reshape(R, A)
-    dd_c = dd.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
-    root_pad = root.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
+    if dp_packed:
+        EBITS = _ceil_log2(L_CAP)
+        gqprv = scatter_t(
+            jnp.where(ok_place, qp * 4 + rev * 2 + 1, 0), 0)
+        grprc = scatter_t(
+            jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0), 0)
+        if stage == 6:   # + DP regroup scatters
+            return _chk(gqprv, grprc)
+        ddr = dp_chain_packed(gqprv, grprc, band, pcl, max_gap,
+                              anchor_score, EBITS, use_pallas=use_pallas)
+        if stage == 7:   # + chaining DP
+            return _chk(ddr)
+        ddr_c = ddr.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
+        dp_c = (ddr_c >> (2 * EBITS)) & ((1 << (32 - 2 * EBITS)) - 1)
+        dep_c = (ddr_c >> EBITS) & ((1 << EBITS) - 1)
+        root_pad = ddr_c & ((1 << EBITS) - 1)
+    else:
+        gqp = scatter_t(qp, I32MAX)
+        grp = scatter_t(rp, I32MAX)
+        # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
+        grcv = scatter_t(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
+        if stage == 6:   # + DP regroup scatters
+            return _chk(gqp, grp, grcv)
+        dd, root = dp_chain(gqp, grp, grcv, band, pcl, max_gap,
+                            anchor_score, use_pallas=use_pallas)
+        if stage == 7:   # + chaining DP
+            return _chk(dd, root)
+        # two flat padded->compact gathers
+        DBITS = _ceil_log2(L_CAP + 1)   # matches dp_pallas.dbits(L_CAP)
+        dd_c = dd.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
+        root_pad = root.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
+        dp_c = dd_c >> DBITS
+        dep_c = dd_c & ((1 << DBITS) - 1)
+
     # a chunk's anchors occupy CONSECUTIVE compact columns (the anchor sort
     # orders by (contig, position) and chunk ids are nondecreasing), so the
     # root's compact column is elementwise arithmetic — no lookup table:
+    valid_c = ok_place
     root_cid = cols - col_in_chunk + root_pad
     if stage == 8:   # + extraction gathers (padded -> compact)
-        return _chk(dd_c, root_cid)
+        return _chk(dp_c, root_cid)
 
-    valid_c = ok_place
-    DBITS = _ceil_log2(L_CAP + 1)   # matches dp_pallas.dbits(L_CAP)
-    dp_c = dd_c >> DBITS
-    dep_c = dd_c & ((1 << DBITS) - 1)
     INVBITS = _ceil_log2(A)
     # packing headroom: `key` needs score < 2^(31-INVBITS), `packed_sn`
     # needs score < 2^15.  L_CAP*anchor_score fits both at default shapes,
@@ -400,64 +418,51 @@ def phase_a(db, a_idx, b_idx,
     # per-anchor (score, column) key: max -> best score, ties -> smallest col
     key = (dp_c << INVBITS) | (A - 1 - cols)
 
-    # stream S: anchors sorted by (root, key desc); the first element of
-    # each root group is the chain's best anchor, the group's length is the
-    # chain's anchor count
-    s_root, _s_nk, s_qp, s_rp, s_dep = jax.lax.sort(
-        (jnp.where(valid_c, root_cid, BIG), -key, qp, rp, dep_c),
-        dimension=1, num_keys=2)
-    prev_root = jnp.concatenate([jnp.full((R, 1), -1, jnp.int32),
-                                 s_root[:, :-1]], axis=1)
-    boundary = s_root != prev_root
-    # group sizes: distance from this boundary to the next one
-    nxt = jax.lax.cummin(jnp.where(boundary, cols, BIG)[:, ::-1],
-                         axis=1)[:, ::-1]
-    nxt_after = jnp.concatenate([nxt[:, 1:], jnp.full((R, 1), A, jnp.int32)],
-                                axis=1)
-    size = jnp.minimum(nxt_after, A) - cols
-    first = boundary & (s_root != BIG)
+    # --- per-chain aggregation with TWO scatters (no multi-payload sorts):
+    # best_buf[root] = the chain's best (score, smallest-col) key,
+    # size_buf[root] = the chain's anchor count.  Chain records then live
+    # AT their root's own column, so all remaining per-chain fields are
+    # elementwise there — no stream alignment needed.
+    rtgt = jnp.where(valid_c, root_cid, A)
+    best_buf = jnp.full((R, A + 1), -1, jnp.int32).at[
+        rowi, rtgt].max(jnp.where(valid_c, key, -1), mode="drop")[:, :A]
+    size_buf = jnp.zeros((R, A + 1), jnp.int32).at[
+        rowi, rtgt].add(valid_c.astype(jnp.int32), mode="drop")[:, :A]
 
-    # stream B: per-chain records (best anchor fields + size), root order
-    b_root, b_qp, b_rp, b_dep, b_size, b_nk = jax.lax.sort(
-        (jnp.where(first, s_root, BIG), s_qp, s_rp, s_dep, size, _s_nk),
-        dimension=1, num_keys=1)
-    # stream C: each chain root's OWN fields, column (== root) order —
-    # aligned 1:1 with stream B (both ascending in the root's column)
     is_root = valid_c & (root_cid == cols)
-    c_col, c_qp, c_rp, c_rc, c_cid, c_rev = jax.lax.sort(
-        (jnp.where(is_root, cols, BIG), qp, rp, rc, cid,
-         rev.astype(jnp.int32)),
-        dimension=1, num_keys=1)
+    good_pre = is_root & (size_buf >= min_anchors) \
+        & ((best_buf >> INVBITS).astype(jnp.float32) >= min_score)
+    # conservative I_CAP check: good_pre is a superset of the final good
+    # set (the num_anchors filter lands after compaction)
+    overflow |= jnp.sum(good_pre, axis=1) > I_CAP
+    if stage == 9:   # + chain aggregation scatters
+        return _chk(good_pre, best_buf, size_buf)
 
-    best_score = (-b_nk) >> INVBITS
-    num_anchors = b_dep + 1
-    good = ((b_root != BIG) & (b_size >= min_anchors)
-            & (num_anchors >= min_anchors)
-            & (best_score.astype(jnp.float32) >= min_score))
-    iq0 = c_qp
-    iq1 = b_qp
-    ir0 = jnp.minimum(c_rp, b_rp)
-    ir1 = jnp.maximum(c_rp, b_rp)
-    overflow |= jnp.sum(good, axis=1) > I_CAP
-    if stage == 9:   # + extraction sorts
-        return _chk(good, iq0, iq1, ir0, ir1)
-
-    # --- compact intervals per PAIR and pack everything into one i32 ---
-    # score (<=15 bits), anchor count (<=DBITS+1), chunk id, good and rev
-    # bits pack into two payload words for the compaction sort
-    sort_key = jnp.where(good, c_col, BIG)
-    packed_sn = (best_score << (DBITS + 1)) | num_anchors
-    packed_gcr = (c_cid << 2) | (good.astype(jnp.int32) << 1) | c_rev
-    (_, p_sn, p_gcr, sq0, sq1, sr0, sr1, src_) = jax.lax.sort(
-        (sort_key, packed_sn, packed_gcr, iq0, iq1, ir0, ir1, c_rc),
-        dimension=1, num_keys=1)
-    p_sn = p_sn[:, :I_CAP]
-    p_gcr = p_gcr[:, :I_CAP]
-    iv_block = jnp.concatenate(
-        [(p_gcr >> 1) & 1, p_sn >> (DBITS + 1),
-         p_sn & ((1 << (DBITS + 1)) - 1)]
-        + [x[:, :I_CAP] for x in (sq0, sq1, sr0, sr1, src_)]
-        + [p_gcr >> 2, p_gcr & 1], axis=1)
+    # --- compact the good root COLUMNS (single-array sort), then fetch
+    # every per-chain field with tiny (R, I_CAP) gathers
+    rcols = jax.lax.sort(jnp.where(good_pre, cols, BIG),
+                         dimension=1)[:, :I_CAP]
+    has = rcols != BIG
+    rcl = jnp.minimum(rcols, A - 1)
+    g_best = _row_gather(best_buf, rcl)
+    bcl = jnp.clip((A - 1) - (g_best & ((1 << INVBITS) - 1)), 0, A - 1)
+    num_anchors = _row_gather(dep_c, bcl) + 1
+    good = has & (num_anchors >= min_anchors)
+    g_qp0 = _row_gather(qp, rcl)
+    g_rp0 = _row_gather(rp, rcl)
+    g_qp1 = _row_gather(qp, bcl)
+    g_rp1 = _row_gather(rp, bcl)
+    iv_block = jnp.concatenate([
+        good.astype(jnp.int32),
+        g_best >> INVBITS,
+        num_anchors,
+        g_qp0,
+        g_qp1,
+        jnp.minimum(g_rp0, g_rp1),
+        jnp.maximum(g_rp0, g_rp1),
+        _row_gather(rc, rcl),
+        _row_gather(cid, rcl),
+        _row_gather(rev.astype(jnp.int32), rcl)], axis=1)
     scalars = jnp.stack([n_chunks,
                          jnp.minimum(total, I32MAX).astype(jnp.int32),
                          overflow.astype(jnp.int32)], axis=1)
@@ -479,10 +484,18 @@ class DevicePairEngine:
     N_IV_FIELDS = 10  # valid, score, num, q0, q1, r0, r1, rc, cid, rev
 
     def __init__(self, sketches: Sequence, sketch_params, command_params,
-                 model=None, batch: int = 12,
-                 i_cap: int = 1024, c_cap: int = 512, l_cap: int = 768,
+                 model=None, batch: int = None,
+                 i_cap: int = 1024, c_cap: int = 512, l_cap: int = None,
                  device=None):
         from .device_db import db_has_duplicate_positions, db_pack_ok
+
+        if batch is None:
+            # larger batches amortize the per-dispatch sync floor (~29 ms
+            # on the tunneled link) and XLA's fixed per-op overheads; CPU
+            # (tests) keeps smaller graphs
+            dev0 = device or jax.devices()[0]
+            batch = int(os.environ.get(
+                "SKANI_TPU_BATCH", "32" if dev0.platform == "tpu" else "12"))
 
         self.sketches = list(sketches)
         self.device = device
@@ -512,6 +525,20 @@ class DevicePairEngine:
         self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 17)
         self.I_CAP = i_cap
         self.C_CAP = c_cap
+        if l_cap is None:
+            # per-chunk anchor cap sized to the sketch density: ~20kb/c
+            # positions per fragment.  512 (the packed-DP limit) covers the
+            # default/medium presets with >= 1.8x headroom; denser
+            # sketches (slow preset c=30) step up and use the unpacked DP.
+            # Overflowing chunks fall back to the exact native path.
+            if getattr(sketch_params, "use_aa", False):
+                l_cap = 768
+            else:
+                min_c = max(min((int(s.c) for s in sketches), default=125),
+                            1)
+                need = int(1.5 * 20000 / min_c)
+                l_cap = 512 if need <= 512 else (
+                    1024 if need <= 1024 else 2048)
         self.L_CAP = l_cap
 
     def _unpack(self, packed: np.ndarray):

@@ -214,3 +214,174 @@ def dp_chain(qp, rp, rcv, band: int, pcl: int, max_gap: float,
         return _dp_pallas(qp, rp, rcv, band, pcl, int(max_gap),
                           int(anchor_score))
     return _dp_scan(qp, rp, rcv, band, pcl, int(max_gap), int(anchor_score))
+
+
+# ---------------------------------------------------------------------------
+# PACKED variant: two int32 inputs, one int32 output.
+#
+# Inputs:  qprv (L, RC) = qp << 2 | rev << 1 | valid   (qp < 2^24)
+#          rprc (L, RC) = rc << 25 | rp                (rp < 2^24, rc < 64)
+# Output:  ddr  (L, RC) = score << 2*EBITS | depth << EBITS | root,
+#          EBITS = ceil_log2(L_CAP); requires L_CAP*anchor_score < 2^SBITS
+#          with SBITS = 32 - 2*EBITS (the caller gates this statically).
+#
+# Semantics identical to dp_chain: the same-ref-contig requirement is
+# IMPLICIT — when rc differs, |d_r| >= 2^25 - (2^24 - 1) > 2^24, so the
+# d_r > 0 / d_r <= D_MAX_LIN_LENGTH / gap <= max_gap tests reject the
+# transition in every sign case; rev equality is checked on bit 1 of qprv.
+# Halves the DP-regroup scatters (2 instead of 3) and the padded->compact
+# extraction gathers (1 instead of 2).
+# ---------------------------------------------------------------------------
+
+def _dp_kernel_packed(qprv_ref, rprc_ref, ddr_ref,
+                      dpw, qprvw, rprcw, rootw, depw, slotw,
+                      *, L, band, pcl, max_gap, anchor_score, EBITS, RING,
+                      RING_SHIFT):
+    dpw[:] = jnp.zeros_like(dpw)
+    qprvw[:] = jnp.zeros_like(qprvw)        # valid bit 0 -> masked
+    rprcw[:] = jnp.zeros_like(rprcw)
+    rootw[:] = jnp.zeros_like(rootw)
+    depw[:] = jnp.zeros_like(depw)
+    slotw[:] = jnp.full_like(slotw, -(1 << 29))
+
+    def step(t, _):
+        qprv_i = qprv_ref[pl.ds(t, 1), :]   # (1, RC_B)
+        rprc_i = rprc_ref[pl.ds(t, 1), :]
+
+        d_q = (qprv_i >> 2) - (qprvw[:] >> 2)
+        d_r_f = rprc_i - rprcw[:]
+        rev_i = (qprv_i >> 1) & 1
+        d_r = jnp.where(rev_i == 1, -d_r_f, d_r_f)
+        gap = jnp.abs(d_r - d_q)
+        ok = ((qprvw[:] ^ qprv_i) & 2) == 0      # same orientation
+        ok &= (qprvw[:] & qprv_i & 1) == 1       # both valid
+        ok &= (d_q <= pcl) & (d_q != 0)
+        ok &= rprc_i != rprcw[:]
+        ok &= (d_q <= D_MAX_LIN_LENGTH) & (d_r <= D_MAX_LIN_LENGTH)
+        ok &= d_r > 0
+        ok &= gap <= max_gap
+        ok &= slotw[:] >= jnp.maximum(t - band, 0)
+        rel = slotw[:] - (t - RING)
+        cand = anchor_score - gap + dpw[:]
+        comb = jnp.where(ok, cand * RING + rel, NEGI)
+        best = jnp.max(comb, axis=0, keepdims=True)
+        best_val = best >> RING_SHIFT
+        take = best_val > 0
+        onehot = ok & (comb == best)
+        pick = lambda w: jnp.sum(jnp.where(onehot, w[:], 0), axis=0,
+                                 keepdims=True)
+        dp_t = jnp.where(take, best_val, 0)
+        root_t = jnp.where(take, pick(rootw), t)
+        dep_t = jnp.where(take, pick(depw) + 1, 0)
+
+        ddr_ref[pl.ds(t, 1), :] = (dp_t << (2 * EBITS)) | (dep_t << EBITS) \
+            | root_t
+
+        s = jax.lax.rem(t, RING)
+        dpw[pl.ds(s, 1), :] = dp_t
+        qprvw[pl.ds(s, 1), :] = qprv_i
+        rprcw[pl.ds(s, 1), :] = rprc_i
+        rootw[pl.ds(s, 1), :] = root_t
+        depw[pl.ds(s, 1), :] = dep_t
+        slotw[pl.ds(s, 1), :] = jnp.full_like(slotw[pl.ds(s, 1), :], t)
+        return 0
+
+    jax.lax.fori_loop(0, L, step, 0)
+
+
+def _dp_pallas_packed(qprv, rprc, band: int, pcl: int, max_gap: int,
+                      anchor_score: int, EBITS: int, rc_block: int = 256,
+                      interpret: bool = False):
+    L, RC = qprv.shape
+    rc_block = min(rc_block, RC)
+    assert RC % rc_block == 0
+    RING = ring_size(band)
+    kern = functools.partial(
+        _dp_kernel_packed, L=L, band=band, pcl=pcl, max_gap=max_gap,
+        anchor_score=anchor_score, EBITS=EBITS, RING=RING,
+        RING_SHIFT=int(np.log2(RING)))
+    grid = (RC // rc_block,)
+    spec = pl.BlockSpec((L, rc_block), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((L, RC), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((RING, rc_block), jnp.int32)
+                        for _ in range(6)],
+        interpret=interpret,
+    )(qprv, rprc)
+
+
+def _dp_scan_packed(qprv, rprc, band: int, pcl: int, max_gap: int,
+                    anchor_score: int, EBITS: int, unroll: int = 8):
+    """lax.scan fallback with identical semantics on the packed layout."""
+    L, RC = qprv.shape
+    assert L % unroll == 0
+    neg = jnp.int32(NEGI)
+
+    def dp_one(carry, x):
+        dp_w, qprv_w, rprc_w, root_w, dep_w, i = carry
+        qprv_i, rprc_i = x
+        d_q = (qprv_i[None, :] >> 2) - (qprv_w >> 2)
+        d_r_f = rprc_i[None, :] - rprc_w
+        rev_i = (qprv_i >> 1) & 1
+        d_r = jnp.where(rev_i[None, :] == 1, -d_r_f, d_r_f)
+        gap = jnp.abs(d_r - d_q)
+        ok = ((qprv_w ^ qprv_i[None, :]) & 2) == 0
+        ok &= (qprv_w & qprv_i[None, :] & 1) == 1
+        ok &= (d_q <= pcl) & (d_q != 0)
+        ok &= rprc_i[None, :] != rprc_w
+        ok &= (d_q <= D_MAX_LIN_LENGTH) & (d_r <= D_MAX_LIN_LENGTH)
+        ok &= d_r > 0
+        ok &= gap <= max_gap
+        ok &= ((i - 1 - jnp.arange(band)) >= 0)[:, None]
+        cand = jnp.where(ok, anchor_score - gap + dp_w, neg)
+        best_w = jnp.argmax(cand, axis=0)
+        pick = lambda w: jnp.take_along_axis(w, best_w[None, :], axis=0)[0]
+        best_val = pick(cand)
+        take = best_val > 0
+        dp_i = jnp.where(take, best_val, 0)
+        root_i = jnp.where(take, pick(root_w), i).astype(jnp.int32)
+        dep_i = jnp.where(take, pick(dep_w) + 1, 0).astype(jnp.int32)
+
+        def shift(w, new):
+            return jnp.concatenate([new[None, :], w[:-1]], axis=0)
+
+        carry = (shift(dp_w, dp_i), shift(qprv_w, qprv_i),
+                 shift(rprc_w, rprc_i), shift(root_w, root_i),
+                 shift(dep_w, dep_i), i + 1)
+        return carry, (dp_i << (2 * EBITS)) | (dep_i << EBITS) | root_i
+
+    def dp_step(carry, xs):
+        outs = []
+        for uu in range(unroll):
+            carry, o = dp_one(carry, tuple(x[uu] for x in xs))
+            outs.append(o)
+        return carry, jnp.stack(outs)
+
+    init = (jnp.zeros((band, RC), jnp.int32),
+            jnp.zeros((band, RC), jnp.int32),
+            jnp.zeros((band, RC), jnp.int32),
+            jnp.zeros((band, RC), jnp.int32),
+            jnp.zeros((band, RC), jnp.int32),
+            jnp.int32(0))
+    xs = tuple(x.reshape(L // unroll, unroll, RC) for x in (qprv, rprc))
+    _, ddr_u = jax.lax.scan(dp_step, init, xs)
+    return ddr_u.reshape(L, RC)
+
+
+def dp_chain_packed(qprv, rprc, band: int, pcl: int, max_gap: float,
+                    anchor_score: float, EBITS: int, use_pallas: bool):
+    """Packed-layout dispatch (see block comment above)."""
+    assert float(max_gap) == float(int(max_gap))
+    assert float(anchor_score) == float(int(anchor_score))
+    L = qprv.shape[0]
+    assert L * int(anchor_score) < (1 << (32 - 2 * EBITS))
+    if use_pallas:
+        return _dp_pallas_packed(qprv, rprc, band, pcl, int(max_gap),
+                                 int(anchor_score), EBITS)
+    return _dp_scan_packed(qprv, rprc, band, pcl, int(max_gap),
+                           int(anchor_score), EBITS)

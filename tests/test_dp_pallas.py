@@ -10,7 +10,8 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
-from skani_tpu.kernels.dp_pallas import _dp_pallas, _dp_scan
+from skani_tpu.kernels.dp_pallas import (_dp_pallas, _dp_pallas_packed,
+                                         _dp_scan, _dp_scan_packed, dbits)
 
 
 def _random_rows(rng, L, RC, n_contigs=2, p_valid=0.85):
@@ -44,6 +45,52 @@ def test_pallas_dp_matches_scan(band, pcl, max_gap, L, RC):
                               rc_block=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(dd_s), np.asarray(dd_p))
     np.testing.assert_array_equal(np.asarray(root_s), np.asarray(root_p))
+
+
+def _pack_inputs(qp, rp, rcv):
+    """(qp, rp, rcv) -> (qprv, rprc) packed layout; rcv = rc*4+rev*2+valid.
+    Invalid slots become all-zero words (valid bit 0)."""
+    valid = (rcv & 1) == 1
+    rev = (rcv >> 1) & 1
+    rc = rcv >> 2
+    qprv = np.where(valid, qp * 4 + rev * 2 + 1, 0).astype(np.int32)
+    rprc = np.where(valid, (rc << 25) | rp, 0).astype(np.int32)
+    return qprv, rprc
+
+
+def test_packed_dp_matches_unpacked():
+    """The packed two-word DP must agree with the reference scan exactly
+    (same scores/depths/roots) on multi-contig, mixed-orientation rows."""
+    rng = np.random.default_rng(7)
+    L, RC = 64, 256
+    band, pcl, max_gap = 20, 2500, 300
+    qp, rp, rcv = _random_rows(rng, L, RC, n_contigs=3)
+    dd_s, root_s = _dp_scan(qp, rp, rcv, band, pcl, max_gap, 20, unroll=8)
+    EBITS = int(np.ceil(np.log2(L)))
+    ddr = np.asarray(_dp_scan_packed(*_pack_inputs(qp, rp, rcv), band, pcl,
+                                     max_gap, 20, EBITS, unroll=8))
+    DBITS = dbits(L)
+    np.testing.assert_array_equal(
+        np.asarray(dd_s) >> DBITS,
+        (ddr >> (2 * EBITS)) & ((1 << (32 - 2 * EBITS)) - 1))
+    np.testing.assert_array_equal(np.asarray(dd_s) & ((1 << DBITS) - 1),
+                                  (ddr >> EBITS) & ((1 << EBITS) - 1))
+    np.testing.assert_array_equal(np.asarray(root_s),
+                                  ddr & ((1 << EBITS) - 1))
+
+
+def test_packed_pallas_matches_packed_scan():
+    rng = np.random.default_rng(11)
+    L, RC = 48, 128
+    band, pcl, max_gap = 20, 2500, 300
+    qp, rp, rcv = _random_rows(rng, L, RC, n_contigs=3)
+    qprv, rprc = _pack_inputs(qp, rp, rcv)
+    EBITS = int(np.ceil(np.log2(L)))
+    ddr_s = _dp_scan_packed(qprv, rprc, band, pcl, max_gap, 20, EBITS,
+                            unroll=8)
+    ddr_p = _dp_pallas_packed(qprv, rprc, band, pcl, max_gap, 20, EBITS,
+                              rc_block=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ddr_s), np.asarray(ddr_p))
 
 
 def test_scan_dp_chains_elementary():
