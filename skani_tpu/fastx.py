@@ -74,6 +74,10 @@ def _iter_fasta(data: bytes) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def _iter_fastq(data: bytes, path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """FASTQ records, including (legal, rare) multi-line sequence and
+    quality blocks: sequence lines accumulate until the '+' separator,
+    then quality lines until their length catches up (the needletail
+    behavior the reference inherits)."""
     lines = data.split(b"\n")
     i = 0
     n = len(lines)
@@ -84,8 +88,18 @@ def _iter_fastq(data: bytes, path: str) -> Iterator[Tuple[str, np.ndarray]]:
         if lines[i][:1] != b"@" or i + 3 >= n:
             raise InvalidFastxError(f"{path} is not a valid fastq file")
         header = lines[i][1:].rstrip(b"\r")
-        seq = lines[i + 1].rstrip(b"\r")
-        if lines[i + 2][:1] != b"+":
+        i += 1
+        seq_parts = []
+        while i < n and lines[i][:1] != b"+":
+            seq_parts.append(lines[i].rstrip(b"\r"))
+            i += 1
+        if i >= n:
             raise InvalidFastxError(f"{path} is not a valid fastq file")
-        yield header.decode("utf-8", "replace"), np.frombuffer(seq, dtype=np.uint8)
-        i += 4
+        seq = b"".join(seq_parts)
+        i += 1   # skip the '+' separator
+        qlen = 0
+        while i < n and qlen < len(seq):
+            qlen += len(lines[i].rstrip(b"\r"))
+            i += 1
+        yield header.decode("utf-8", "replace"), \
+            np.frombuffer(seq, dtype=np.uint8)

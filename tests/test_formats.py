@@ -107,3 +107,16 @@ def test_dist_sketch_file_inputs(tmp_path):
     row_a = direct.stdout.strip().split("\n")[1].split("\t")[2:5]
     row_b = via_sketch.stdout.strip().split("\n")[1].split("\t")[2:5]
     assert row_a == row_b
+
+
+def test_fastq_multiline_records(tmp_path):
+    """Multi-line FASTQ (legal, rare) parses like needletail would
+    (reference dep); 4-line records unchanged."""
+    import numpy as np
+
+    from skani_tpu import fastx
+    p = tmp_path / "ml.fastq"
+    p.write_bytes(b"@r1\nACGT\nACGT\n+\nIIII\nIIII\n@r2\nGGGG\n+r2\nIIII\n")
+    recs = list(fastx.iter_fastx(str(p)))
+    assert recs[0][0] == "r1" and recs[0][1].tobytes() == b"ACGTACGT"
+    assert recs[1][0] == "r2" and recs[1][1].tobytes() == b"GGGG"
