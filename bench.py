@@ -21,6 +21,10 @@ import time
 
 import numpy as np
 
+# pair throughput is the metric; keep sketching (prep) on the host kernel
+# regardless of the link-speed probe
+os.environ.setdefault("SKANI_TPU_SEEDER", "native")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from skani_tpu import (CommandParams, SketchParams, map_params_from_sketch)

@@ -53,11 +53,14 @@ def _round_up(x: int, step: int = 4096, floor: int = 4096) -> int:
 
 def db_pack_ok(sketches: Sequence) -> bool:
     """True when every genome's positions/contig counts fit the packed
-    int32 `ctgc << 24 | pos` word."""
+    int32 `ctgc << 24 | pos` word.  The 64 KiB position margin keeps
+    chunk-end coordinates (position + one 20 kb fragment) under 2^24 for
+    the packed chunk-metadata word (hi << 7 | ctg << 1 | new)."""
     for s in sketches:
         if len(s.contig_lengths) > PACK_MAX_CTGS:
             return False
-        if len(s.seed_pos) and int(s.seed_pos.max()) >= (1 << PACK_POS_BITS):
+        if len(s.seed_pos) and int(s.seed_pos.max()) >= (
+                (1 << PACK_POS_BITS) - 65536):
             return False
     return True
 

@@ -311,17 +311,31 @@ def phase_a(db, a_idx, b_idx,
     n_chunks = jnp.max(cid, axis=1) + 1
 
     # per-chunk metadata (scatter at chunk-start anchors; OOB -> drop)
-    cs_idx = jnp.where(chunk_start & (cid < C_CAP), cid, C_CAP)
-    chunk_ctg = jnp.full((R, C_CAP + 1), -1, jnp.int32
-                         ).at[rowi, cs_idx].max(qc)[:, :C_CAP]
-    chunk_new_ctg = jnp.zeros((R, C_CAP + 1), bool
-                              ).at[rowi, cs_idx].max(seg_start)[:, :C_CAP]
     # hi = qp_first + (m+1)*fl, except the globally last chunk: the LAST
     # anchor's query position in sorted order (reference closes the final
     # chunk at a_qp[n-1], NOT the max position across contigs —
     # src/chain.rs:804-817)
-    chunk_hi = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[rowi, cs_idx].max(
-        qp_first + (m + 1) * fl)[:, :C_CAP]
+    cs_idx = jnp.where(chunk_start & (cid < C_CAP), cid, C_CAP)
+    hi_vals = qp_first + (m + 1) * fl
+    if gen_mode == "sorted_packed":
+        # ONE packed metadata scatter (hi < 2^24 guaranteed by
+        # db_pack_ok's position margin, ctg < 64): hi<<7 | ctg<<1 | new
+        wmeta = (hi_vals << 7) | (qc << 1) | seg_start.astype(jnp.int32)
+        meta_buf = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[
+            rowi, cs_idx].max(jnp.where(chunk_start, wmeta, -1),
+                              mode="drop")[:, :C_CAP]
+        miss = meta_buf < 0
+        chunk_ctg = jnp.where(miss, -1, (meta_buf >> 1) & 0x3F)
+        chunk_new_ctg = jnp.where(miss, False, (meta_buf & 1) == 1)
+        chunk_hi = jnp.where(miss, -1, meta_buf >> 7)
+    else:
+        chunk_ctg = jnp.full((R, C_CAP + 1), -1, jnp.int32
+                             ).at[rowi, cs_idx].max(qc)[:, :C_CAP]
+        chunk_new_ctg = jnp.zeros((R, C_CAP + 1), bool
+                                  ).at[rowi, cs_idx].max(
+            seg_start)[:, :C_CAP]
+        chunk_hi = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[
+            rowi, cs_idx].max(hi_vals)[:, :C_CAP]
     last_idx = jnp.clip(jnp.minimum(total, A) - 1, 0, A - 1)
     last_qp = jnp.take_along_axis(qp, last_idx[:, None], axis=1)[:, 0]
     last_cid = n_chunks - 1
@@ -332,10 +346,10 @@ def phase_a(db, a_idx, b_idx,
         return _chk(cid, chunk_hi, chunk_ctg, chunk_new_ctg)
 
     # --- regroup anchors to rows-per-chunk for the DP ---
-    chunk_first = jnp.full((R, C_CAP + 1), BIG, jnp.int32).at[
-        rowi, jnp.where(anchor_valid & (cid < C_CAP) & (cid >= 0),
-                        cid, C_CAP)].min(cols)[:, :C_CAP]
-    col_in_chunk = cols - rg(chunk_first, jnp.clip(cid, 0, C_CAP - 1))
+    # a chunk's anchors are CONSECUTIVE columns, so the chunk-local column
+    # is a forward-fill of chunk-start columns — no lookup table
+    col_in_chunk = cols - jnp.maximum(
+        jax.lax.cummax(jnp.where(chunk_start, cols, -1), axis=1), 0)
     ok_place = anchor_valid & (cid >= 0) & (cid < C_CAP) \
         & (col_in_chunk < L_CAP)
     overflow = (total > A) | (n_chunks > C_CAP) \
@@ -452,9 +466,30 @@ def phase_a(db, a_idx, b_idx,
     g_rp0 = _row_gather(rp, rcl)
     g_qp1 = _row_gather(qp, bcl)
     g_rp1 = _row_gather(rp, bcl)
+    g_score = g_best >> INVBITS
+    scalars = jnp.stack([n_chunks,
+                         jnp.minimum(total, I32MAX).astype(jnp.int32),
+                         overflow.astype(jnp.int32)], axis=1)
+    if gen_mode == "sorted_packed":
+        # pack the readback (the link is the scarce resource): interval
+        # metadata in 2 words (score<<11|num<<1|good; cid<<7|rc<<1|rev) and
+        # chunk metadata re-packed into the hi<<7|ctg<<1|new word
+        wm1 = (g_score << 11) | (num_anchors << 1) | good.astype(jnp.int32)
+        wm2 = (_row_gather(cid, rcl) << 7) | (_row_gather(rc, rcl) << 1) \
+            | _row_gather(rev.astype(jnp.int32), rcl)
+        out_meta = jnp.where(
+            chunk_hi < 0, -1,
+            (chunk_hi << 7) | ((chunk_ctg & 0x3F) << 1)
+            | chunk_new_ctg.astype(jnp.int32))
+        packed_out = jnp.concatenate([
+            wm1, wm2, g_qp0, g_qp1,
+            jnp.minimum(g_rp0, g_rp1), jnp.maximum(g_rp0, g_rp1),
+            out_meta, scalars,
+        ], axis=1)
+        return packed_out
     iv_block = jnp.concatenate([
         good.astype(jnp.int32),
-        g_best >> INVBITS,
+        g_score,
         num_anchors,
         g_qp0,
         g_qp1,
@@ -463,9 +498,6 @@ def phase_a(db, a_idx, b_idx,
         _row_gather(rc, rcl),
         _row_gather(cid, rcl),
         _row_gather(rev.astype(jnp.int32), rcl)], axis=1)
-    scalars = jnp.stack([n_chunks,
-                         jnp.minimum(total, I32MAX).astype(jnp.int32),
-                         overflow.astype(jnp.int32)], axis=1)
     packed_out = jnp.concatenate([
         iv_block,
         chunk_hi, chunk_ctg, chunk_new_ctg.astype(jnp.int32),
@@ -542,17 +574,40 @@ class DevicePairEngine:
         self.L_CAP = l_cap
 
     def _unpack(self, packed: np.ndarray):
-        """Split the packed i32 output into fields."""
+        """Split the packed i32 output into fields (layout depends on the
+        generation mode — sorted_packed transfers 6 interval words + one
+        chunk-metadata word instead of 10 + 3)."""
         I, C = self.I_CAP, self.C_CAP
-        o = 0
         iv = {}
-        for name in ("valid", "score", "num", "q0", "q1", "r0", "r1",
-                     "rc", "cid", "rev"):
-            iv[name] = packed[:, o:o + I]
-            o += I
-        chunk_hi = packed[:, o:o + C]; o += C
-        chunk_ctg = packed[:, o:o + C]; o += C
-        chunk_new = packed[:, o:o + C]; o += C
+        if self.gen_mode == "sorted_packed":
+            wm1 = packed[:, 0:I]
+            wm2 = packed[:, I:2 * I]
+            iv["valid"] = wm1 & 1
+            iv["score"] = wm1 >> 11
+            iv["num"] = (wm1 >> 1) & 0x3FF
+            iv["q0"] = packed[:, 2 * I:3 * I]
+            iv["q1"] = packed[:, 3 * I:4 * I]
+            iv["r0"] = packed[:, 4 * I:5 * I]
+            iv["r1"] = packed[:, 5 * I:6 * I]
+            iv["cid"] = wm2 >> 7
+            iv["rc"] = (wm2 >> 1) & 0x3F
+            iv["rev"] = wm2 & 1
+            o = 6 * I
+            meta = packed[:, o:o + C]
+            miss = meta < 0
+            chunk_hi = np.where(miss, -1, meta >> 7)
+            chunk_ctg = np.where(miss, -1, (meta >> 1) & 0x3F)
+            chunk_new = np.where(miss, 0, meta & 1)
+            o += C
+        else:
+            o = 0
+            for name in ("valid", "score", "num", "q0", "q1", "r0", "r1",
+                         "rc", "cid", "rev"):
+                iv[name] = packed[:, o:o + I]
+                o += I
+            chunk_hi = packed[:, o:o + C]; o += C
+            chunk_ctg = packed[:, o:o + C]; o += C
+            chunk_new = packed[:, o:o + C]; o += C
         n_chunks = packed[:, o]
         n_anchors = packed[:, o + 1]
         overflow = packed[:, o + 2]
@@ -696,7 +751,12 @@ class DevicePairEngine:
         from ..chain import compute_switch
 
         if host_workers is None:
-            host_workers = int(os.environ.get("SKANI_TPU_HOST_WORKERS", "1"))
+            # steal-workers only pay off when spare cores exist beyond the
+            # one running the engine's own host stage (interval resolution
+            # + rank queries); on a 1-core host they just create stragglers
+            spare = max(0, (os.cpu_count() or 1) - 2)
+            host_workers = int(os.environ.get("SKANI_TPU_HOST_WORKERS",
+                                              str(min(2, spare))))
 
         out = [None] * len(pairs)
         meta = []
@@ -773,13 +833,14 @@ class DevicePairEngine:
                 for w in workers:
                     w.start()
 
+        depth = int(os.environ.get("SKANI_TPU_INFLIGHT", "3"))
         inflight = []
         while True:
             group = take_front(self.R)
             if group:
                 inflight.append((group, self._dispatch_phase_a(group,
                                                                group[0][4])))
-            if (not group and inflight) or len(inflight) >= 2:
+            if (not group and inflight) or len(inflight) >= depth:
                 process(inflight.pop(0))
             if not group and not inflight:
                 break

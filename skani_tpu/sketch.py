@@ -179,28 +179,67 @@ def _finalize_sketch(sk: Sketch, kmers_parts, pos_parts, canon_parts,
         sk.marker_seeds = np.unique(np.concatenate(marker_parts))
 
 
-def default_seeder(params: Optional[SketchParams] = None):
-    """Fastest available bit-exact seeding kernel (native C++ if built,
-    else the NumPy reference); AA path for use_aa.
+_LINK_FAST: Optional[bool] = None
 
-    SKANI_TPU_SEEDER=tpu selects the batched device kernel
-    (kernels/seeding_tpu.py) — the right choice when the accelerator is
-    locally attached; over a slow tunneled link the host kernel wins
-    because raw sequence transfer dominates.
+
+def _accelerator_link_is_fast(threshold_bytes_per_s: float = 2e8) -> bool:
+    """One-time probe of host->accelerator bandwidth.  Device seeding is
+    transfer-bound (raw 2-bit-encodable sequence up, survivors down): it
+    only wins over the native C++ kernel on a locally attached accelerator
+    (PCIe/ICI, GB/s), never over a tunneled link (~60 MB/s here)."""
+    global _LINK_FAST
+    if _LINK_FAST is None:
+        try:
+            import time
+
+            import jax
+            dev = jax.devices()[0]
+            if dev.platform == "cpu":
+                _LINK_FAST = False
+            else:
+                import jax.numpy as jnp
+                # warm the dispatch path, then time a FRESH buffer — jax
+                # reuses the committed device buffer when the same host
+                # array is re-put, which would fake an instant transfer
+                warm = np.zeros(1 << 20, dtype=np.uint8)
+                np.asarray(jax.device_put(jnp.asarray(warm), dev)[:8])
+                payload = np.random.default_rng(0).integers(
+                    0, 255, 4 << 20, dtype=np.uint8)
+                t0 = time.perf_counter()
+                buf = jax.device_put(jnp.asarray(payload), dev)
+                np.asarray(buf[:8])
+                dt = time.perf_counter() - t0
+                _LINK_FAST = (len(payload) / max(dt, 1e-9)
+                              ) > threshold_bytes_per_s
+        except Exception:
+            _LINK_FAST = False
+    return _LINK_FAST
+
+
+def default_seeder(params: Optional[SketchParams] = None):
+    """Fastest available bit-exact seeding kernel for this host: the
+    batched device kernel (kernels/seeding_tpu.py) when an accelerator is
+    attached over a fast local link, else the native C++ kernel, else the
+    NumPy reference; AA path for use_aa.
+
+    SKANI_TPU_SEEDER=tpu/native/numpy overrides the probe.
     """
     if params is not None and params.use_aa:
         from .aa import fmh_seeds_aa_np
         return fmh_seeds_aa_np
     import os
-    if os.environ.get("SKANI_TPU_SEEDER") == "tpu":
+    choice = os.environ.get("SKANI_TPU_SEEDER", "auto")
+    if choice == "tpu" or (choice == "auto"
+                           and _accelerator_link_is_fast()):
         from .kernels.seeding_tpu import fmh_seeds_tpu
         return fmh_seeds_tpu
-    try:
-        from . import native
-        if native.available():
-            return native.fmh_seeds_native
-    except Exception:
-        pass
+    if choice != "numpy":
+        try:
+            from . import native
+            if native.available():
+                return native.fmh_seeds_native
+        except Exception:
+            pass
     return fmh_seeds_np
 
 
