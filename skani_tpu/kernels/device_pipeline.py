@@ -432,25 +432,25 @@ def phase_a(db, a_idx, b_idx,
     # per-anchor (score, column) key: max -> best score, ties -> smallest col
     key = (dp_c << INVBITS) | (A - 1 - cols)
 
-    # --- per-chain aggregation with TWO scatters (no multi-payload sorts):
-    # best_buf[root] = the chain's best (score, smallest-col) key,
-    # size_buf[root] = the chain's anchor count.  Chain records then live
-    # AT their root's own column, so all remaining per-chain fields are
-    # elementwise there — no stream alignment needed.
+    # --- per-chain aggregation with ONE scatter (no multi-payload sorts):
+    # best_buf[root] = the chain's best (score, smallest-col) key.  Chain
+    # records then live AT their root's own column, so all remaining
+    # per-chain fields are elementwise there — no stream alignment needed.
+    # The reference's set-size >= min_anchors test (src/chain.rs:954-976)
+    # is IMPLIED: the best path's length num_anchors <= set size, and
+    # good requires num_anchors >= min_anchors, so no size count is kept.
     rtgt = jnp.where(valid_c, root_cid, A)
     best_buf = jnp.full((R, A + 1), -1, jnp.int32).at[
         rowi, rtgt].max(jnp.where(valid_c, key, -1), mode="drop")[:, :A]
-    size_buf = jnp.zeros((R, A + 1), jnp.int32).at[
-        rowi, rtgt].add(valid_c.astype(jnp.int32), mode="drop")[:, :A]
 
     is_root = valid_c & (root_cid == cols)
-    good_pre = is_root & (size_buf >= min_anchors) \
+    good_pre = is_root \
         & ((best_buf >> INVBITS).astype(jnp.float32) >= min_score)
     # conservative I_CAP check: good_pre is a superset of the final good
     # set (the num_anchors filter lands after compaction)
     overflow |= jnp.sum(good_pre, axis=1) > I_CAP
-    if stage == 9:   # + chain aggregation scatters
-        return _chk(good_pre, best_buf, size_buf)
+    if stage == 9:   # + chain aggregation scatter
+        return _chk(good_pre, best_buf)
 
     # --- compact the good root COLUMNS (single-array sort), then fetch
     # every per-chain field with tiny (R, I_CAP) gathers
