@@ -33,7 +33,9 @@ STAGE_NAMES = {
     6: "+ DP regroup scatters",
     7: "+ chaining DP",
     8: "+ extraction gather (padded->compact)",
-    9: "+ chain aggregation scatters",
+    9: "+ chain aggregation scatter",
+    10: "+ root-column compaction sort",
+    11: "+ per-chain field gathers",
     99: "full (compaction + pack)",
 }
 
@@ -48,7 +50,7 @@ def main():
     dev = jax.devices()[0]
     print(f"device={dev}  R={eng.R} A={eng.A} K={eng.db.K} P={eng.db.P} "
           f"C_CAP={eng.C_CAP} L_CAP={eng.L_CAP} band={mp.index_chain_band} "
-          f"mode={eng.gen_mode}", flush=True)
+          f"mode={eng.gen_mode} join={eng.join_mode}", flush=True)
 
     n = len(sketches)
     a_idx = np.arange(eng.R, dtype=np.int32) % n
@@ -60,7 +62,8 @@ def main():
               pcl=min(mp.fragment_length // 2, mp.bp_chain_band),
               max_gap=mp.max_gap_length, anchor_score=mp.anchor_score,
               min_anchors=mp.min_anchors, min_score=mp.min_score,
-              use_pallas=dev.platform == "tpu", gen_mode=eng.gen_mode)
+              use_pallas=dev.platform == "tpu", gen_mode=eng.gen_mode,
+              join_mode=eng.join_mode)
 
     sel = os.environ.get("PROFILE_STAGES")
     stages = ([int(x) for x in sel.split(",")] if sel

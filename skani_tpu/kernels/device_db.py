@@ -86,7 +86,7 @@ class DeviceDb:
     """
 
     def __init__(self, sketches: Sequence, device=None,
-                 mode: str = "legacy"):
+                 mode: str = "legacy", dense_join_budget: int = 0):
         G = len(sketches)
         self.sketches = list(sketches)
         self.mode = mode
@@ -147,6 +147,35 @@ class DeviceDb:
                                counts=self.counts, apk=self.apk,
                                bpk=self.bpk, skid=self.skid,
                                n_pos=self.n_pos)
+            # Dense GLOBAL-AXIS join tables (the all-pairs posting-list
+            # amortization): the union of every genome's kmers is ranked
+            # once; each genome stores its kmers as union ranks (gid) and
+            # a dense (cnt << 17 | start) word per union slot — the
+            # per-pair sorted-merge join then collapses to ONE row gather.
+            # Memory is G x |union| x 4 bytes, so only built under budget
+            # (0 disables); absent kmers hold 0 (present => cnt >= 1).
+            union = np.unique(np.concatenate(
+                [s.seed_kmers for s in sketches]
+                or [np.zeros(0, np.uint32)]))
+            U = _round_up(max(len(union), 128), 128, 128)
+            if dense_join_budget and G * U * 4 <= dense_join_budget \
+                    and P < (1 << 17):
+                gid = np.full((G, K), -1, dtype=np.int32)
+                dense_cs = np.zeros((G, U), dtype=np.int32)
+                for g, s in enumerate(sketches):
+                    nk = len(s.seed_kmers)
+                    if not nk:
+                        continue
+                    r = np.searchsorted(union, s.seed_kmers).astype(np.int32)
+                    gid[g, :nk] = r
+                    cnts = np.minimum(np.diff(s.seed_starts), 4095)
+                    dense_cs[g, r] = (cnts.astype(np.int32) << 17) \
+                        | starts[g, :nk]
+                self.U = U
+                self.gid = put(gid)
+                self.dense_cs = put(dense_cs)
+                self.arrays["gid"] = self.gid
+                self.arrays["dense_cs"] = self.dense_cs
         elif mode == "sorted":
             self.pos = put(pos)
             self.ctgc = put(ctgc)

@@ -105,22 +105,18 @@ def _chk(*xs):
     jax.jit,
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score",
-                     "use_pallas", "gen_mode", "stage"))
+                     "use_pallas", "gen_mode", "join_mode", "stage"))
 def phase_a(db, a_idx, b_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
             min_score: float, use_pallas: bool = False,
-            gen_mode: str = "legacy", stage: int = 99):
+            gen_mode: str = "legacy", join_mode: str = "merge",
+            stage: int = 99):
     R = a_idx.shape[0]
     K = db["kmers"].shape[1]
     P = (db["apk"] if gen_mode == "sorted_packed" else db["pos"]).shape[1]
 
-    ak = db["kmers"][a_idx]       # (R, K)
-    bk = db["kmers"][b_idx]
     a_cnt = db["counts"][a_idx]
-    b_cnt = db["counts"][b_idx]
-    a_start = db["starts"][a_idx]
-    b_start = db["starts"][b_idx]
 
     def rg(table, index):
         """Row gather: MXU one-hot kernel when shapes allow, XLA flat
@@ -132,24 +128,43 @@ def phase_a(db, a_idx, b_idx,
 
     assert band < 4096
 
-    # --- join (reference: src/chain.rs:666-712) ---
-    idx = jax.vmap(functools.partial(jnp.searchsorted, method="sort"))(bk, ak)
-    idx = jnp.minimum(idx, K - 1)
-    a_valid = ak != jnp.uint32(0xFFFFFFFF)
-    bk_i = jax.lax.bitcast_convert_type(bk, jnp.int32)
-    ak_i = jax.lax.bitcast_convert_type(ak, jnp.int32)
-    hit = (rg(bk_i, idx) == ak_i) & a_valid
-    if P < (1 << 17):
-        # pack (count, start) so the join needs two gathers, not three
-        # (count clipped to 4095 — only compared against band < 4096)
-        pk_cs = (jnp.minimum(b_cnt, 4095) << 17) | b_start
-        cs = rg(pk_cs, idx)
-        b_cnt_hit = jnp.where(hit, cs >> 17, 0)
-        b_start_hit = jnp.where(hit, cs & ((1 << 17) - 1), 0)
+    if join_mode == "dense":
+        # --- GLOBAL-AXIS join (all-pairs posting-list amortization):
+        # kmers are pre-ranked on the DB-wide union axis, so the per-pair
+        # sorted-merge collapses to ONE row gather of the ref genome's
+        # dense (cnt << 17 | start) table (0 = absent; present => cnt >= 1)
+        gid_a = db["gid"][a_idx]                      # (R, K)
+        valid_k = gid_a >= 0
+        U = db["dense_cs"].shape[1]
+        csb = rg(db["dense_cs"][b_idx], jnp.maximum(gid_a, 0))
+        hit = valid_k & (csb != 0)
+        b_cnt_hit = jnp.where(hit, csb >> 17, 0)
+        b_start_hit = jnp.where(hit, csb & ((1 << 17) - 1), 0)
+        a_ok = (a_cnt <= band) & valid_k
     else:
-        b_cnt_hit = jnp.where(hit, rg(b_cnt, idx), 0)
-        b_start_hit = jnp.where(hit, rg(b_start, idx), 0)
-    a_ok = (a_cnt <= band) & a_valid
+        # --- sorted-merge join (reference: src/chain.rs:666-712) ---
+        ak = db["kmers"][a_idx]   # (R, K)
+        bk = db["kmers"][b_idx]
+        b_cnt = db["counts"][b_idx]
+        b_start = db["starts"][b_idx]
+        idx = jax.vmap(functools.partial(jnp.searchsorted,
+                                         method="sort"))(bk, ak)
+        idx = jnp.minimum(idx, K - 1)
+        a_valid = ak != jnp.uint32(0xFFFFFFFF)
+        bk_i = jax.lax.bitcast_convert_type(bk, jnp.int32)
+        ak_i = jax.lax.bitcast_convert_type(ak, jnp.int32)
+        hit = (rg(bk_i, idx) == ak_i) & a_valid
+        if P < (1 << 17):
+            # pack (count, start) so the join needs two gathers, not three
+            # (count clipped to 4095 — only compared against band < 4096)
+            pk_cs = (jnp.minimum(b_cnt, 4095) << 17) | b_start
+            cs = rg(pk_cs, idx)
+            b_cnt_hit = jnp.where(hit, cs >> 17, 0)
+            b_start_hit = jnp.where(hit, cs & ((1 << 17) - 1), 0)
+        else:
+            b_cnt_hit = jnp.where(hit, rg(b_cnt, idx), 0)
+            b_start_hit = jnp.where(hit, rg(b_start, idx), 0)
+        a_ok = (a_cnt <= band) & a_valid
     pair_ok = hit & a_ok & (b_cnt_hit <= band)
     if stage == 1:   # join only
         return _chk(hit, b_cnt_hit, b_start_hit, pair_ok)
@@ -169,6 +184,7 @@ def phase_a(db, a_idx, b_idx,
         # increase across emitting kmers, so each slot sees the right kmer).
         pos_a = db["pos"][a_idx]
         ctgc_a = db["ctgc"][a_idx]    # packed contig*2 + canonical
+        a_start = db["starts"][a_idx]
         pair_counts = jnp.where(pair_ok, a_cnt * b_cnt_hit, 0)
         offs = jnp.cumsum(pair_counts, axis=1) - pair_counts
         total = offs[:, -1] + pair_counts[:, -1]
@@ -456,6 +472,8 @@ def phase_a(db, a_idx, b_idx,
     # every per-chain field with tiny (R, I_CAP) gathers
     rcols = jax.lax.sort(jnp.where(good_pre, cols, BIG),
                          dimension=1)[:, :I_CAP]
+    if stage == 10:  # + root-column compaction sort
+        return _chk(rcols)
     has = rcols != BIG
     rcl = jnp.minimum(rcols, A - 1)
     g_best = _row_gather(best_buf, rcl)
@@ -467,6 +485,8 @@ def phase_a(db, a_idx, b_idx,
     g_qp1 = _row_gather(qp, bcl)
     g_rp1 = _row_gather(rp, bcl)
     g_score = g_best >> INVBITS
+    if stage == 11:  # + per-chain field gathers
+        return _chk(g_qp0, g_rp0, g_qp1, g_rp1, num_anchors, good)
     scalars = jnp.stack([n_chunks,
                          jnp.minimum(total, I32MAX).astype(jnp.int32),
                          overflow.astype(jnp.int32)], axis=1)
@@ -545,7 +565,11 @@ class DevicePairEngine:
             self.gen_mode = "sorted_packed"
         else:
             self.gen_mode = "sorted"
-        self.db = DeviceDb(self.sketches, device=device, mode=self.gen_mode)
+        dense_budget = int(os.environ.get("SKANI_TPU_DENSE_JOIN_MB",
+                                          "512")) << 20
+        self.db = DeviceDb(self.sketches, device=device, mode=self.gen_mode,
+                           dense_join_budget=dense_budget)
+        self.join_mode = "dense" if "gid" in self.db.arrays else "merge"
         self.sketch_params = sketch_params
         self.command_params = command_params
         self.model = model
@@ -645,7 +669,8 @@ class DevicePairEngine:
             pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
             max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
             min_anchors=mp0.min_anchors, min_score=mp0.min_score,
-            use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode)
+            use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode,
+            join_mode=self.join_mode)
 
     def _host_process(self, group, packed):
         """Per-batch host stage: unpack, overlap-resolve, answer the seed-
@@ -818,11 +843,23 @@ class DevicePairEngine:
                     worker_errors.append(e)
                     return
 
+        timing = os.environ.get("SKANI_TPU_TIMING") == "1"
+
         def process(entry):
+            import time
             group, ph = entry
+            t0 = time.perf_counter()
             packed = np.asarray(ph)
+            t1 = time.perf_counter()
             batch_recs, ranks = self._host_process(group, packed)
+            t2 = time.perf_counter()
             self._finalize_batch(group, batch_recs, ranks, out)
+            if timing:
+                import sys
+                sys.stderr.write(
+                    f"# batch n={len(group)} readback {1e3 * (t1 - t0):.1f}"
+                    f"ms host {1e3 * (t2 - t1):.1f}ms finalize "
+                    f"{1e3 * (time.perf_counter() - t2):.1f}ms\n")
 
         workers = []
         if host_workers > 0 and len(meta) > 2 * self.R:
