@@ -1,55 +1,71 @@
-"""Device-resident pair engine (V3): join -> chunk -> DP -> chains on device.
+"""Device-resident pair engine (V5): join -> chunk -> DP -> chains on device.
 
 The per-pair hot path of the reference (reference: src/chain.rs:144-171)
 executed entirely on the TPU for a BATCH of genome pairs against the
 device-resident DeviceDb:
 
   phase A (one jit):
-    * sorted-merge seed join (sort-based searchsorted) with the reference's
-      repeat band caps;
-    * capped cross-product anchor expansion into a fixed-size buffer
-      (scatter + cummax instead of per-slot binary search);
-    * multi-key anchor sort (lax.sort, 5 keys);
+    * seed join: either the dense GLOBAL-AXIS join (DB-wide kmer union
+      ranked once; per pair, ONE MXU row gather of the ref's dense
+      (cnt | start) table — the all-pairs posting-list amortization) or
+      a sorted-merge searchsorted join, both with the reference's repeat
+      band caps (reference: src/chain.rs:666-712);
+    * anchor expansion DIRECTLY IN SORTED ORDER: the expansion walks the
+      query's (contig, position)-sorted seed table (device_db `skid`)
+      and each ref kmer run is itself run-sorted, so emitted anchors are
+      already in the reference's Anchor Ord (types.rs:499-506) — there
+      is NO per-pair anchor sort.  Slot->source mapping is a sorted-merge
+      searchsorted over the per-position offset table; positions+contigs
+      are pre-packed (ctgc << 24 | pos), one gather per anchor side
+      (AAI / out-of-range DBs keep a legacy kmer-order + 5-key-sort path);
     * fragment chunking in CLOSED FORM: the reference's sequential
       cep-advance scan (reference: src/chain.rs:738-826) reduces, per contig
       segment, to m_t = min(q_t, t+1, t + prefmin_s(q_s - s)) where
       q_t = max(0, (qp_t - qp_first - 1) // fragment_length) — q_t is
       nondecreasing because anchors are sorted, so the cascade counter is a
       segmented prefix-min, computed here as a single lax.cummax over
-      (segment_id << VBITS | encoded value) packed keys;
+      (segment_id << VBITS | encoded value) packed keys; per-chunk
+      metadata lands in ONE packed (hi | ctg | new) .set scatter;
     * banded chaining DP over anchors REGROUPED to rows-per-chunk — the
       dependency chain is per chunk, so the sequential length is the chunk
       cap, not the total anchor count; a Pallas VMEM kernel on TPU, a
       bit-identical lax.scan elsewhere (kernels/dp_pallas.py); chain ROOT
       and DEPTH propagate through the band ring buffer, so no
-      pointer-chasing pass is needed afterwards;
-    * chain extraction with NO scatters/gathers: per-chain best anchor and
-      size come from lax.sorts of the (root, score desc)-keyed anchor
-      stream in the COMPACT domain;
+      pointer-chasing pass is needed afterwards.  In packed mode the DP
+      reads two packed planes (qp|rev|valid, rc<<25|rp) and emits
+      score/depth/root in ONE word, halving regroup scatters and
+      extraction gathers;
+    * chain extraction by SCATTER AGGREGATION: the chain's best
+      (score, col) key scatter-maxes onto its root's column; every other
+      per-chain field is elementwise there; good roots compact with one
+      single-array sort and tiny (R, I_CAP) gathers.  (The reference's
+      set-size >= min_anchors check is implied by num_anchors <= size.);
     * row-local lookups route through an MXU one-hot gather kernel
       (kernels/gather_pallas.py) on TPU;
-    * ALL outputs packed into one int32 tensor (one host roundtrip).
+    * ALL outputs packed into one int32 tensor (one host roundtrip;
+      6 words per interval + 1 per chunk in packed mode).
   host: greedy overlap resolution + per-chunk aggregation (native C++);
     the seed-rank queries it emits are answered from HOST-side sorted
     position tables (kernels/rank_host.py: rank_all - rank_own_repeats -
     rank_shared_banned, pair-independent except for a tiny banned set), so
     there is no second device round trip per batch.
 
-  run_pairs drains a shared work queue from both ends: device batches from
-  the front (two in flight), optional host C++ worker threads stealing
-  single pairs from the back; mirrored pair orientations are computed once.
+  run_pairs buckets pairs into power-of-two anchor-buffer sizes, drains a
+  shared work queue from both ends (device batches from the front, several
+  in flight; optional host C++ worker threads stealing single pairs from
+  the back when spare cores exist), and computes mirrored pair
+  orientations once.
 
 Performance notes (measured on TPU v5e over a tunneled link; full cost
-model in PERF.md): 2D take_along_axis gathers and per-element binary
-searches are the expensive primitives (~60ms / ~200ms per call at these
-shapes); lax.sort, lax.cummax, MXU one-hot gathers, and input-small
-scatters are cheap (<5ms).  V3 is written entirely in terms of the cheap
-set; V2's pointer-doubling chain extraction (20 large 2-D gathers) is
-replaced by in-scan root propagation plus sort-based aggregation.
+model and stage profile in PERF.md): XLA scatters/gathers cost ~5-9
+ns/element at these shapes, MXU one-hot gathers ~half that, lax.sort and
+cum-scans are near-free, and .set scatters are ~2.5x cheaper than .max —
+V5 is written to minimize the scatter/gather pass count per anchor.
 
 Only sketches (once per genome) and tiny per-pair results cross the host
 link — the design premise for both the slow-link single chip and the
-multi-host sharded DB (see __graft_entry__.dryrun_multichip).
+multi-host sharded DB (see __graft_entry__.dryrun_multichip and
+skani_tpu/multihost.py).
 """
 from __future__ import annotations
 
@@ -253,22 +269,21 @@ def phase_a(db, a_idx, b_idx,
         cnt_p = jw_p & 0xFFF
         offs_p = jnp.cumsum(cnt_p, axis=1) - cnt_p
         total = offs_p[:, -1] + cnt_p[:, -1]
-        emit = (cnt_p > 0) & (offs_p < A)
-        # fill word (source position << 12 | count): strictly increasing
-        # across emitting positions, so one cummax forward-fills each
-        # anchor block; block starts recover the intra-block rank without
-        # a second lookup
-        fillw = (pcols << 12) | cnt_p
-        fw = jnp.full((R, A), -1, jnp.int32).at[
-            rowi, jnp.where(emit, offs_p, A)].max(
-                jnp.where(emit, fillw, -1), mode="drop")
-        fw = jax.lax.cummax(fw, axis=1)
         anchor_valid = slots < jnp.minimum(total, A)[:, None]
-        g = jnp.clip(fw >> 12, 0, P - 1)
-        prev_fw = jnp.concatenate(
-            [jnp.full((R, 1), -2, jnp.int32), fw[:, :-1]], axis=1)
+        # slot -> source position: offs_p is nondecreasing, and for a slot
+        # s inside position p's block, p is the LAST index with
+        # offs <= s (zero-count positions after p carry offs_p + cnt_p >
+        # s), so one sorted-merge searchsorted replaces the old
+        # scatter-fill + cummax
+        srow = jnp.broadcast_to(
+            jnp.arange(A, dtype=jnp.int32)[None, :], (R, A))
+        g = jax.vmap(functools.partial(
+            jnp.searchsorted, side="right", method="sort"))(offs_p, srow)
+        g = jnp.clip(g - 1, 0, P - 1)
+        prev_g = jnp.concatenate(
+            [jnp.full((R, 1), -2, jnp.int32), g[:, :-1]], axis=1)
         block_start = jax.lax.cummax(
-            jnp.where(fw != prev_fw, slots, 0), axis=1)
+            jnp.where(g != prev_g, slots, 0), axis=1)
         rank = slots - block_start
         bs = rg(jw_p >> 12, g)
         brow = jnp.clip(bs + rank, 0, P - 1)
@@ -333,25 +348,27 @@ def phase_a(db, a_idx, b_idx,
     # src/chain.rs:804-817)
     cs_idx = jnp.where(chunk_start & (cid < C_CAP), cid, C_CAP)
     hi_vals = qp_first + (m + 1) * fl
+    # exactly ONE source anchor (the chunk start) targets each slot, so
+    # plain .set scatters suffice — measured ~2.5x cheaper than .max
     if gen_mode == "sorted_packed":
         # ONE packed metadata scatter (hi < 2^24 guaranteed by
         # db_pack_ok's position margin, ctg < 64): hi<<7 | ctg<<1 | new
         wmeta = (hi_vals << 7) | (qc << 1) | seg_start.astype(jnp.int32)
         meta_buf = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[
-            rowi, cs_idx].max(jnp.where(chunk_start, wmeta, -1),
-                              mode="drop")[:, :C_CAP]
+            rowi, cs_idx].set(wmeta, mode="drop")[:, :C_CAP]
         miss = meta_buf < 0
         chunk_ctg = jnp.where(miss, -1, (meta_buf >> 1) & 0x3F)
         chunk_new_ctg = jnp.where(miss, False, (meta_buf & 1) == 1)
         chunk_hi = jnp.where(miss, -1, meta_buf >> 7)
     else:
         chunk_ctg = jnp.full((R, C_CAP + 1), -1, jnp.int32
-                             ).at[rowi, cs_idx].max(qc)[:, :C_CAP]
+                             ).at[rowi, cs_idx].set(qc,
+                                                    mode="drop")[:, :C_CAP]
         chunk_new_ctg = jnp.zeros((R, C_CAP + 1), bool
-                                  ).at[rowi, cs_idx].max(
-            seg_start)[:, :C_CAP]
+                                  ).at[rowi, cs_idx].set(
+            seg_start, mode="drop")[:, :C_CAP]
         chunk_hi = jnp.full((R, C_CAP + 1), -1, jnp.int32).at[
-            rowi, cs_idx].max(hi_vals)[:, :C_CAP]
+            rowi, cs_idx].set(hi_vals, mode="drop")[:, :C_CAP]
     last_idx = jnp.clip(jnp.minimum(total, A) - 1, 0, A - 1)
     last_qp = jnp.take_along_axis(qp, last_idx[:, None], axis=1)[:, 0]
     last_cid = n_chunks - 1
@@ -577,8 +594,11 @@ class DevicePairEngine:
         # anchors rarely exceed ~1.1x the larger position count (the repeat
         # band caps the blowup); overflow pairs fall back to the exact
         # native path, so a tight buffer only costs speed on outliers
+        # 2^19 anchors covers ~65 Mbp eukaryote MAGs at c=125; batches of
+        # large buckets shrink (see _r_for) so the padded (R, A) domain
+        # stays bounded instead of the pairs falling back to the host
         a = int(1.15 * self.db.max_n_pos)
-        self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 17)
+        self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 19)
         self.I_CAP = i_cap
         self.C_CAP = c_cap
         if l_cap is None:
@@ -652,9 +672,16 @@ class DevicePairEngine:
             b *= 2
         return b if 4 * b <= self.A else self.A
 
+    def _r_for(self, bucket_a: int) -> int:
+        """Batch rows for one anchor bucket: R*A bounded (~8M padded
+        slots) so huge-genome buckets run in smaller batches instead of
+        blowing HBM or falling back to the host."""
+        return max(2, min(self.R, (8 << 20) // bucket_a))
+
     def _dispatch_phase_a(self, group, mp0):
-        a_idx = np.zeros(self.R, dtype=np.int32)
-        b_idx = np.zeros(self.R, dtype=np.int32)
+        r_b = self._r_for(group[0][7])
+        a_idx = np.zeros(r_b, dtype=np.int32)
+        b_idx = np.zeros(r_b, dtype=np.int32)
         for w, item in enumerate(group):
             a_idx[w] = item[1]
             b_idx[w] = item[2]
@@ -812,10 +839,12 @@ class DevicePairEngine:
         lock = threading.Lock()
         lo_hi = [0, len(meta)]   # [front, back) of the shared work queue
 
-        def take_front(n):
+        def take_front():
             with lock:
                 lo = lo_hi[0]
-                hi = min(lo + n, lo_hi[1])
+                if lo >= lo_hi[1]:
+                    return []
+                hi = min(lo + self._r_for(meta[lo][7]), lo_hi[1])
                 while hi > lo + 1 and meta[hi - 1][7] != meta[lo][7]:
                     hi -= 1     # stop at a bucket boundary
                 lo_hi[0] = hi
@@ -873,7 +902,7 @@ class DevicePairEngine:
         depth = int(os.environ.get("SKANI_TPU_INFLIGHT", "3"))
         inflight = []
         while True:
-            group = take_front(self.R)
+            group = take_front()
             if group:
                 inflight.append((group, self._dispatch_phase_a(group,
                                                                group[0][4])))
