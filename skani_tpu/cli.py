@@ -365,6 +365,17 @@ def main(argv=None) -> int:
                                       else sys.argv[1:])[:250])
     sp, cp = parse_args_to_params(args)
     cp.threads = max(int(args.threads), 1)
+    # multi-host launch (SKANI_TPU_COORDINATOR et al.): form the global
+    # device mesh before any other jax use; the pair executor then routes
+    # through the cross-process fleet automatically
+    from . import multihost
+    if multihost.init_from_env():
+        import jax
+        log.info(f"jax.distributed: process {jax.process_index()} of "
+                 f"{jax.process_count()}, {len(jax.devices())} devices")
+        if jax.process_index() != 0:
+            # every process holds the full merged results; host 0 writes
+            cp.out_file_name = os.devnull
     from . import engine
     if cp.mode == Mode.SKETCH:
         engine.sketch(cp, sp)

@@ -154,12 +154,19 @@ class DeviceDb:
             # per-pair sorted-merge join then collapses to ONE row gather.
             # Memory is G x |union| x 4 bytes, so only built under budget
             # (0 disables); absent kmers hold 0 (present => cnt >= 1).
-            union = np.unique(np.concatenate(
-                [s.seed_kmers for s in sketches]
-                or [np.zeros(0, np.uint32)]))
-            U = _round_up(max(len(union), 128), 128, 128)
-            if dense_join_budget and G * U * 4 <= dense_join_budget \
-                    and P < (1 << 17):
+            # cheap upper bound first: skip the DB-wide unique entirely
+            # when even the bound can't fit the budget
+            u_bound = sum(len(s.seed_kmers) for s in sketches)
+            if dense_join_budget and G * u_bound * 4 <= dense_join_budget \
+                    * 8 and P < (1 << 17):
+                union = np.unique(np.concatenate(
+                    [s.seed_kmers for s in sketches]
+                    or [np.zeros(0, np.uint32)]))
+                U = _round_up(max(len(union), 128), 128, 128)
+            else:
+                union, U = None, 1 << 62
+            if union is not None and dense_join_budget \
+                    and G * U * 4 <= dense_join_budget and P < (1 << 17):
                 gid = np.full((G, K), -1, dtype=np.int32)
                 dense_cs = np.zeros((G, U), dtype=np.int32)
                 for g, s in enumerate(sketches):

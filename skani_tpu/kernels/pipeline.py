@@ -32,6 +32,21 @@ def tpu_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
     from .device_pipeline import DevicePairEngine
 
     devices = jax.devices()
+    if jax.process_count() > 1:
+        # multi-HOST runtime (jax.distributed active): cross-process fleet,
+        # refs owned round-robin by global device, results allgathered
+        from ..multihost import MultiHostPairFleet
+        same = ref_sketches is query_sketches
+        queries = list(ref_sketches) if same else list(query_sketches)
+        fleet = _engine_cache.get("mh_fleet")
+        if fleet is None or not _same_sketches(fleet.refs, ref_sketches) \
+                or not _same_sketches(fleet.queries, queries):
+            fleet = MultiHostPairFleet(list(ref_sketches), queries,
+                                       sketch_params, command_params,
+                                       model=model)
+            _engine_cache.clear()
+            _engine_cache["mh_fleet"] = fleet
+        return fleet.run_pairs(pairs)
     if len(devices) > 1:
         # multi-device: shard the reference DB across the fleet
         from ..parallel import ShardedPairFleet

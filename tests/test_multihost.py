@@ -104,3 +104,43 @@ def test_two_process_fleet_matches_native():
             assert "nan" in ani, (rg, qg, ani, want)
         else:
             assert (ani, afq, afr) == want, (rg, qg, (ani, afq, afr), want)
+
+
+def test_multihost_cli_triangle_matches_single(tmp_path):
+    """Full CLI under a 2-process jax.distributed runtime: host 0's output
+    file equals the single-process run byte-for-byte (host 1 writes to
+    /dev/null)."""
+    vir = "/root/reference/test_files/viruses.fna"
+    single = tmp_path / "single.tsv"
+    env0 = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env0.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-m", "skani_tpu", "triangle", vir,
+                        "-i", "--sparse", "-o", str(single)],
+                       capture_output=True, text=True, env=env0,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    port = _free_port()
+    outs = [tmp_path / "mh0.tsv", tmp_path / "mh1.tsv"]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ, PYTHONPATH=REPO,
+                   JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   SKANI_TPU_COORDINATOR=f"localhost:{port}",
+                   SKANI_TPU_NUM_PROCS="2",
+                   SKANI_TPU_PROC_ID=str(pid),
+                   # force the device executor so the multi-host fleet
+                   # actually routes these tiny batches
+                   SKANI_TPU_EXECUTOR="tpu")
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "skani_tpu", "triangle", vir, "-i",
+             "--sparse", "-o", str(outs[pid])],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env))
+    for p in procs:
+        _out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-2000:]
+    assert sorted(single.read_text().splitlines()) == \
+        sorted(outs[0].read_text().splitlines())
