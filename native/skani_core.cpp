@@ -706,4 +706,36 @@ void free_pair_output(PairOutput* o) {
     if (o) { delete o->owner; delete o; }
 }
 
+// Bootstrap resample sums (reference: src/chain.rs:57-86): fastrand 1.9's
+// wyrand PRNG from `seed`, usize(..n_mult) via Lemire's debiased
+// multiply-high reduction with the rejection loop, consumed row-major as
+// (iters, num_samp).  Bit-identical to skani_tpu/hashing.py's batch form
+// (which stays as the spec / no-native fallback).
+static inline uint64_t wyrand_next(uint64_t& s) {
+    s += 0xa0761d6478bd642fULL;
+    unsigned __int128 p = (unsigned __int128)s *
+        (uint64_t)(s ^ 0xe7037ed1a0b428dbULL);
+    return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+
+void fastrand_indices(int64_t n_calls, uint64_t below, uint64_t seed,
+                      uint64_t* out) {
+    uint64_t s = seed;
+    const uint64_t t = below ? (uint64_t)(-(int64_t)below) % below : 0;
+    for (int64_t j = 0; j < n_calls; j++) {
+        uint64_t r = wyrand_next(s);
+        unsigned __int128 m = (unsigned __int128)r * below;
+        uint64_t lo = (uint64_t)m, hi = (uint64_t)(m >> 64);
+        if (lo < below) {
+            while (lo < t) {
+                r = wyrand_next(s);
+                m = (unsigned __int128)r * below;
+                lo = (uint64_t)m;
+                hi = (uint64_t)(m >> 64);
+            }
+        }
+        out[j] = hi;
+    }
+}
+
 }  // extern "C"

@@ -76,8 +76,18 @@ def bootstrap_interval(ani_ests: List[tuple]) -> tuple:
         return 0.0, 1.0, std
     mult_anis = np.repeat(anis, [m for _a, m in ani_ests])
     iters = 100
-    idx = fastrand_usize_below_batch(7, iters * num_samp, len(mult_anis))
-    sums = mult_anis[idx.astype(np.int64)].reshape(iters, num_samp).sum(axis=1)
+    # the wyrand draw stream comes from the C++ core when built (the
+    # expensive part); the gather + per-iteration summation stays in
+    # numpy so the float accumulation order never depends on which
+    # backend produced the indices
+    from . import native
+    idx = native.fastrand_indices_native(iters * num_samp, len(mult_anis),
+                                         7)
+    if idx is None:
+        idx = fastrand_usize_below_batch(7, iters * num_samp,
+                                         len(mult_anis))
+    sums = mult_anis[idx.astype(np.int64)].reshape(
+        iters, num_samp).sum(axis=1)
     res = np.sort(sums / num_samp)
     return float(res[iters * 5 // 100 - 1]), float(res[iters * 95 // 100 - 1]), std
 

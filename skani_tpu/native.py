@@ -104,6 +104,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int64]
     lib.free_iv_output.argtypes = [ctypes.POINTER(_IvOutputView)]
+    lib.fastrand_indices.restype = None
+    lib.fastrand_indices.argtypes = [
+        ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64, u64p]
     _lib = lib
     return _lib
 
@@ -215,3 +218,17 @@ def run_pair_native(q_sk, r_sk, map_params, switched: bool, c: int):
            int(o.num_chains), int(o.n_anchors))
     lib.free_pair_output(out)
     return ret
+
+
+def fastrand_indices_native(n_calls: int, below: int,
+                            seed: int) -> Optional[np.ndarray]:
+    """fastrand::usize(..below) draws via the C++ wyrand core —
+    bit-identical to hashing.fastrand_usize_below_batch (incl. the Lemire
+    rejection loop, which the vectorized form only approximates via a
+    scalar fallback); None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(n_calls, dtype=np.uint64)
+    lib.fastrand_indices(n_calls, below, seed, out)
+    return out
