@@ -21,6 +21,8 @@ if [ "$VERSION" != "$PKG_VERSION" ]; then
 fi
 
 echo "capturing test log for v${VERSION} -> ${OUT}/"
-python -m pytest tests/ -q -rA 2>&1 | tee "${OUT}/test_log.txt"
+# tests on the CPU backend (the CI configuration); bench on the real
+# accelerator (whatever jax selects by default on this host)
+JAX_PLATFORMS=cpu python -m pytest tests/ -q -rA 2>&1 | tee "${OUT}/test_log.txt"
 python bench.py 2>/dev/null | tee "${OUT}/bench.json"
 echo "done: $(date -u +%Y-%m-%dT%H:%M:%SZ)" | tee -a "${OUT}/test_log.txt"

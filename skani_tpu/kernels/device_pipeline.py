@@ -951,7 +951,7 @@ class DevicePairEngine:
             putative = np.power(total_anchors / in_union, 1.0 / k)
             considered = total_seeds.astype(np.int64).copy()
             switch = ((putative > 0.950) & (tbc_query > c * 4)
-                      & (~mp.amino_acid)
+                      & (not mp.amino_acid)
                       & (trq1 - trq0 < 18000)
                       & (considered > 1.05 * in_range))
             considered = np.where(switch, in_range, considered)
