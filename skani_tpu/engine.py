@@ -173,6 +173,10 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
     first_write = True
     n_done = 0
     pending_pairs = []
+    # bounded executor batches: screened pairs run in chunks, so memory
+    # stays flat for huge query x ref workloads (results still flush to
+    # disk every INTERMEDIATE_WRITE_COUNT queries, reference: src/dist.rs)
+    pair_batch_cap = int(os.environ.get("SKANI_TPU_DIST_BATCH", "50000"))
     for qj, q in enumerate(query_sketches):
         if index is None:
             for ri, r in enumerate(ref_sketches):
@@ -183,6 +187,11 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
             for ri in screen.screen_refs(screen_val, index, q, sketch_params,
                                          command_params.rescue_small):
                 pending_pairs.append((int(ri), qj))
+        if len(pending_pairs) >= pair_batch_cap:
+            results = executor(ref_sketches, query_sketches, pending_pairs,
+                               sketch_params, command_params, model)
+            anis.extend(r for r in results if r.ani > 0.1)
+            pending_pairs = []
         n_done += 1
         if n_done % 100 == 0:
             log.info(f"{n_done} query sequences processed.")
