@@ -360,7 +360,31 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
 
     kept_refs: Dict[str, Sketch] = {}
 
+    # Multi-host runtime: each host loads ONLY the sketches it owns from
+    # the consolidated DB (mmap offsets make the slice read cheap) and
+    # passes marker-only stubs for the rest — their seeds live on the
+    # owning host, which scores those pairs; results merge in the fleet.
+    # Sketches are tagged with their global DB index so ownership is
+    # consistent across the window-local ref lists.
+    from . import multihost
+    mh_pid = None
+    if multihost.is_active():
+        import jax
+        mh_pid = jax.process_index()
+        manifest = db.read_shard_manifest(folder)
+        if manifest and manifest.get("n_shards") != jax.process_count():
+            log.warning(
+                f"Shard manifest was written for "
+                f"{manifest.get('n_shards')} hosts; running with "
+                f"{jax.process_count()} processes (round-robin "
+                f"ownership still applies).")
+    for j, r in enumerate(ref_sketches):
+        r._mh_owner_key = j
+
     def load_ref(j: int) -> Optional[Sketch]:
+        from .multihost import owner_process
+        if mh_pid is not None and owner_process(j) != mh_pid:
+            return ref_sketches[j]     # marker-only stub (metadata)
         original = ref_sketches[j].file_name
         if command_params.keep_refs and original in kept_refs:
             return kept_refs[original]
@@ -373,6 +397,7 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
             if not sks:
                 return None
             sk = sks[0]
+        sk._mh_owner_key = j
         if command_params.keep_refs:
             kept_refs[original] = sk
         return sk

@@ -46,6 +46,23 @@ _INT_FIELDS = {"num_contigs_q", "num_contigs_r", "avg_chain_int_len",
                "total_bases_covered"}
 
 
+_ACTIVE = False
+
+
+def is_active() -> bool:
+    """True when init_from_env formed a multi-process runtime (cheap —
+    never initializes jax for single-process callers)."""
+    return _ACTIVE
+
+
+def owner_process(global_index: int) -> int:
+    """The process owning DB entry `global_index` under the round-robin
+    device layout (matches MultiHostPairFleet's owner_dev)."""
+    import jax
+    devices = sorted(jax.devices(), key=lambda d: d.id)
+    return devices[global_index % len(devices)].process_index
+
+
 def init_from_env() -> bool:
     """Initialize jax.distributed from the environment; returns True when
     a multi-process runtime was formed.  Call before any other jax use."""
@@ -57,6 +74,8 @@ def init_from_env() -> bool:
         coordinator_address=coord,
         num_processes=int(os.environ["SKANI_TPU_NUM_PROCS"]),
         process_id=int(os.environ["SKANI_TPU_PROC_ID"]))
+    global _ACTIVE
+    _ACTIVE = True
     return True
 
 
@@ -107,7 +126,12 @@ class MultiHostPairFleet:
         self.pid = jax.process_index()
         devices = sorted(jax.devices(), key=lambda d: d.id)
         self.n_dev = len(devices)
-        self.owner_dev = [g % self.n_dev for g in range(len(self.refs))]
+        # ownership: global-DB index when the caller tagged the sketch
+        # (search windows — non-owned refs may be marker-only stubs whose
+        # seeds live on the owning host), else the list position
+        self.owner_dev = [
+            getattr(s, "_mh_owner_key", g) % self.n_dev
+            for g, s in enumerate(self.refs)]
         self.local = {d.id: d for d in devices
                       if d.process_index == self.pid}
         shard_refs = {i: [] for i in self.local}

@@ -110,3 +110,46 @@ def test_device_engine_hybrid_stealing_with_model():
         b = chain_seeds_native(sks[i], sks[j], mp)
         assert a.ani == b.ani, (i, j, a.ani, b.ani)
         assert a.ci_lower == b.ci_lower and a.ci_upper == b.ci_upper
+
+
+def test_dense_join_matches_merge_join():
+    """The dense global-axis join and the sorted-merge join are exact
+    equivalents (SKANI_TPU_DENSE_JOIN_MB=0 disables the dense tables)."""
+    import os
+
+    import numpy as np
+
+    from skani_tpu import CommandParams, SketchParams, map_params_from_sketch
+    from skani_tpu.ani import chain_seeds_native
+    from skani_tpu.kernels.device_pipeline import DevicePairEngine
+    from skani_tpu.sketch import sketch_file, sketch_file_individual
+
+    sp = SketchParams(c=30, marker_c=200)
+    cp = CommandParams()
+    sk = sketch_file_individual(
+        "/root/reference/test_files/viruses.fna", sp)
+    sk += [sketch_file("/root/reference/test_files/o157_plasmid.fasta", sp)]
+    pairs = [(i, j) for i in range(len(sk)) for j in range(len(sk))
+             if i != j]
+    old = os.environ.pop("SKANI_TPU_DENSE_JOIN_MB", None)
+    try:
+        eng_d = DevicePairEngine(sk, sp, cp, batch=4, i_cap=128, c_cap=64,
+                                 l_cap=512)
+        assert eng_d.join_mode == "dense"
+        res_d = eng_d.run_pairs(pairs, host_workers=0)
+        os.environ["SKANI_TPU_DENSE_JOIN_MB"] = "0"
+        eng_m = DevicePairEngine(sk, sp, cp, batch=4, i_cap=128, c_cap=64,
+                                 l_cap=512)
+        assert eng_m.join_mode == "merge"
+        res_m = eng_m.run_pairs(pairs, host_workers=0)
+    finally:
+        os.environ.pop("SKANI_TPU_DENSE_JOIN_MB", None)
+        if old is not None:
+            os.environ["SKANI_TPU_DENSE_JOIN_MB"] = old
+    for (i, j), a, b in zip(pairs, res_d, res_m):
+        native = chain_seeds_native(
+            sk[i], sk[j], map_params_from_sketch(sk[i], False, cp, None))
+        for r in (a, b):
+            assert (np.isnan(r.ani) and np.isnan(native.ani)) \
+                or (r.ani == native.ani
+                    and r.ci_lower == native.ci_lower), (i, j)

@@ -144,3 +144,49 @@ def test_multihost_cli_triangle_matches_single(tmp_path):
         assert p.returncode == 0, err[-2000:]
     assert sorted(single.read_text().splitlines()) == \
         sorted(outs[0].read_text().splitlines())
+
+
+def test_multihost_search_owner_sharded(tmp_path):
+    """2-process search against a sharded consolidated DB: each host loads
+    only its owned sketches (the rest pass as marker stubs) and host 0's
+    output equals the single-process run."""
+    db_dir = tmp_path / "db"
+    env0 = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env0.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "skani_tpu", "sketch",
+         "/root/reference/test_files/viruses.fna",
+         "/root/reference/test_files/o157_plasmid.fasta", "-i",
+         "-o", str(db_dir), "--shards", "2"],
+        capture_output=True, text=True, env=env0, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    single = tmp_path / "single.tsv"
+    r = subprocess.run(
+        [sys.executable, "-m", "skani_tpu", "search", "-d", str(db_dir),
+         "/root/reference/test_files/viruses.fna", "-o", str(single)],
+        capture_output=True, text=True, env=env0, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    port = _free_port()
+    outs = [tmp_path / "mh0.tsv", tmp_path / "mh1.tsv"]
+    procs = []
+    for pid in range(2):
+        env = dict(env0,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   SKANI_TPU_COORDINATOR=f"localhost:{port}",
+                   SKANI_TPU_NUM_PROCS="2",
+                   SKANI_TPU_PROC_ID=str(pid),
+                   SKANI_TPU_EXECUTOR="tpu")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "skani_tpu", "search", "-d", str(db_dir),
+             "/root/reference/test_files/viruses.fna", "-o",
+             str(outs[pid])],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env))
+    for p in procs:
+        _out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, err[-2000:]
+    assert sorted(single.read_text().splitlines()) == \
+        sorted(outs[0].read_text().splitlines())
+    assert len(single.read_text().splitlines()) >= 3
