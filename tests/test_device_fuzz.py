@@ -82,3 +82,39 @@ def test_device_engine_fuzz(seed, c, k):
         assert a.ani == b.ani, (i, j, a.ani, b.ani)
         assert a.align_fraction_query == b.align_fraction_query
         assert a.ci_lower == b.ci_lower
+
+
+def test_device_engine_fuzz_mixed_buckets():
+    """Genomes spanning multiple anchor-size buckets in one engine (tiny
+    plasmid-scale through ~3 Mbp) — exercises per-bucket batch sizing,
+    the dense global-axis join, and the packed DP together."""
+    rng = np.random.default_rng(31)
+    sp = SketchParams()           # default c=125/k=15: the packed path
+    cp = CommandParams()
+    sizes = [3000, 9000, 150000, 3000000, 3050000]
+    sks = []
+    base = BASES[rng.integers(0, 4, size=max(sizes))]
+    for g, n in enumerate(sizes):
+        s = base[:n].copy()
+        nm = int(n * rng.uniform(0.001, 0.04))
+        if nm:
+            p = rng.choice(n, size=nm, replace=False)
+            s[p] = BASES[rng.integers(0, 4, size=nm)]
+        sks.append(_mk_sketch([s], sp, f"mb{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=4, i_cap=256, c_cap=64)
+    assert eng.gen_mode == "sorted_packed" and eng.join_mode == "dense"
+    assert len({eng._bucket_a(i, j) for i in range(5) for j in range(5)
+                if i != j}) >= 2   # really spans buckets
+    pairs = [(i, j) for i in range(5) for j in range(5) if i != j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    bad = 0
+    for (i, j), a in zip(pairs, res):
+        mp = map_params_from_sketch(sks[i], False, cp, None)
+        b = chain_seeds_native(sks[i], sks[j], mp)
+        if np.isnan(a.ani) and np.isnan(b.ani):
+            continue
+        ok = (a.ani == b.ani
+              and a.align_fraction_query == b.align_fraction_query
+              and a.ci_lower == b.ci_lower)
+        bad += not ok
+    assert bad == 0
