@@ -66,7 +66,7 @@ def test_two_process_fleet_matches_native():
             env=env))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        out, err = p.communicate(timeout=1800)
         assert "WORKER_DONE" in out, out[-2000:] + err[-2000:]
         outs.append([ln for ln in out.splitlines() if ln.startswith("PAIR")])
 
@@ -140,7 +140,7 @@ def test_multihost_cli_triangle_matches_single(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env))
     for p in procs:
-        _out, err = p.communicate(timeout=900)
+        _out, err = p.communicate(timeout=1800)
         assert p.returncode == 0, err[-2000:]
     assert sorted(single.read_text().splitlines()) == \
         sorted(outs[0].read_text().splitlines())
@@ -185,7 +185,7 @@ def test_multihost_search_owner_sharded(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env))
     for p in procs:
-        _out, err = p.communicate(timeout=900)
+        _out, err = p.communicate(timeout=1800)
         assert p.returncode == 0, err[-2000:]
     assert sorted(single.read_text().splitlines()) == \
         sorted(outs[0].read_text().splitlines())
