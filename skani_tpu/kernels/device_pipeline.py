@@ -85,7 +85,7 @@ jax.config.update("jax_compilation_cache_dir",
                                  os.path.expanduser("~/.cache/skani_jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from .device_db import CTG_SENTINEL, PACK_RC_SHIFT, DeviceDb
+from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .gather_pallas import mxu_row_gather
 
