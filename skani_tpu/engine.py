@@ -378,8 +378,9 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
                 f"{manifest.get('n_shards')} hosts; running with "
                 f"{jax.process_count()} processes (round-robin "
                 f"ownership still applies).")
-    for j, r in enumerate(ref_sketches):
-        r._mh_owner_key = j
+    if mh_pid is not None:
+        for j, r in enumerate(ref_sketches):
+            r._mh_owner_key = j
 
     def load_ref(j: int) -> Optional[Sketch]:
         from .multihost import owner_process
