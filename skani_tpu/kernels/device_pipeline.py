@@ -270,16 +270,15 @@ def phase_a(db, a_idx, b_idx,
         offs_p = jnp.cumsum(cnt_p, axis=1) - cnt_p
         total = offs_p[:, -1] + cnt_p[:, -1]
         anchor_valid = slots < jnp.minimum(total, A)[:, None]
-        # slot -> source position: offs_p is nondecreasing, and for a slot
-        # s inside position p's block, p is the LAST index with
-        # offs <= s (zero-count positions after p carry offs_p + cnt_p >
-        # s), so one sorted-merge searchsorted replaces the old
-        # scatter-fill + cummax
-        srow = jnp.broadcast_to(
-            jnp.arange(A, dtype=jnp.int32)[None, :], (R, A))
-        g = jax.vmap(functools.partial(
-            jnp.searchsorted, side="right", method="sort"))(offs_p, srow)
-        g = jnp.clip(g - 1, 0, P - 1)
+        # slot -> source position: scatter each emitting position's index
+        # at its first output slot, forward-fill with cummax (measured 2x
+        # cheaper than the equivalent sorted-merge searchsorted at these
+        # shapes); block starts recover the intra-block rank
+        emit = (cnt_p > 0) & (offs_p < A)
+        fw = jnp.full((R, A), -1, jnp.int32).at[
+            rowi, jnp.where(emit, offs_p, A)].max(
+            jnp.where(emit, pcols, -1), mode="drop")
+        g = jnp.clip(jax.lax.cummax(fw, axis=1), 0, P - 1)
         prev_g = jnp.concatenate(
             [jnp.full((R, 1), -2, jnp.int32), g[:, :-1]], axis=1)
         block_start = jax.lax.cummax(
