@@ -35,11 +35,12 @@ device-resident DeviceDb:
       reads two packed planes (qp|rev|valid, rc<<25|rp) and emits
       score/depth/root in ONE word, halving regroup scatters and
       extraction gathers;
-    * chain extraction by SCATTER AGGREGATION: the chain's best
-      (score, col) key scatter-maxes onto its root's column; every other
-      per-chain field is elementwise there; good roots compact with one
-      single-array sort and tiny (R, I_CAP) gathers.  (The reference's
-      set-size >= min_anchors check is implied by num_anchors <= size.);
+    * chain extraction by SORT AGGREGATION: anchors sorted by (root,
+      key desc) put each chain's best (score, col) key first in its root
+      group; good roots compact with a second 2-array sort, and every
+      other per-chain field comes from tiny (R, I_CAP) gathers at the
+      root columns.  (The reference's set-size >= min_anchors check is
+      implied by num_anchors <= size.);
     * row-local lookups route through an MXU one-hot gather kernel
       (kernels/gather_pallas.py) on TPU;
     * ALL outputs packed into one int32 tensor (one host roundtrip;
@@ -464,35 +465,38 @@ def phase_a(db, a_idx, b_idx,
     # per-anchor (score, column) key: max -> best score, ties -> smallest col
     key = (dp_c << INVBITS) | (A - 1 - cols)
 
-    # --- per-chain aggregation with ONE scatter (no multi-payload sorts):
-    # best_buf[root] = the chain's best (score, smallest-col) key.  Chain
-    # records then live AT their root's own column, so all remaining
-    # per-chain fields are elementwise there — no stream alignment needed.
-    # The reference's set-size >= min_anchors test (src/chain.rs:954-976)
-    # is IMPLIED: the best path's length num_anchors <= set size, and
-    # good requires num_anchors >= min_anchors, so no size count is kept.
-    rtgt = jnp.where(valid_c, root_cid, A)
-    best_buf = jnp.full((R, A + 1), -1, jnp.int32).at[
-        rowi, rtgt].max(jnp.where(valid_c, key, -1), mode="drop")[:, :A]
-
-    is_root = valid_c & (root_cid == cols)
-    good_pre = is_root \
-        & ((best_buf >> INVBITS).astype(jnp.float32) >= min_score)
+    # --- per-chain aggregation with a 2-key sort (measured cheaper than a
+    # scatter-max at these shapes): sorting anchors by (root asc, key
+    # desc) puts each chain's best (score, smallest-col) key first in its
+    # root group.  The reference's set-size >= min_anchors test
+    # (src/chain.rs:954-976) is IMPLIED: the best path's length
+    # num_anchors <= set size, and good requires num_anchors >=
+    # min_anchors, so no size count is kept.
+    s_root, s_nk = jax.lax.sort(
+        (jnp.where(valid_c, root_cid, BIG), -key),
+        dimension=1, num_keys=2)
+    prev_root = jnp.concatenate(
+        [jnp.full((R, 1), -1, jnp.int32), s_root[:, :-1]], axis=1)
+    first = (s_root != prev_root) & (s_root != BIG)
+    good_pre = first \
+        & (((-s_nk) >> INVBITS).astype(jnp.float32) >= min_score)
     # conservative I_CAP check: good_pre is a superset of the final good
     # set (the num_anchors filter lands after compaction)
     overflow |= jnp.sum(good_pre, axis=1) > I_CAP
-    if stage == 9:   # + chain aggregation scatter
-        return _chk(good_pre, best_buf)
+    if stage == 9:   # + chain aggregation sort
+        return _chk(good_pre, s_root)
 
-    # --- compact the good root COLUMNS (single-array sort), then fetch
-    # every per-chain field with tiny (R, I_CAP) gathers
-    rcols = jax.lax.sort(jnp.where(good_pre, cols, BIG),
-                         dimension=1)[:, :I_CAP]
-    if stage == 10:  # + root-column compaction sort
-        return _chk(rcols)
+    # --- compact the good roots (2-array sort: root column + best key),
+    # then fetch every other per-chain field with tiny (R, I_CAP) gathers
+    # at the root columns
+    rcols, g_nk = jax.lax.sort(
+        (jnp.where(good_pre, s_root, BIG), s_nk), dimension=1, num_keys=1)
+    rcols = rcols[:, :I_CAP]
+    g_best = -g_nk[:, :I_CAP]
+    if stage == 10:  # + root compaction sort
+        return _chk(rcols, g_best)
     has = rcols != BIG
     rcl = jnp.minimum(rcols, A - 1)
-    g_best = _row_gather(best_buf, rcl)
     bcl = jnp.clip((A - 1) - (g_best & ((1 << INVBITS) - 1)), 0, A - 1)
     num_anchors = _row_gather(dep_c, bcl) + 1
     good = has & (num_anchors >= min_anchors)
