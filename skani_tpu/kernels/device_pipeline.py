@@ -14,10 +14,11 @@ device-resident DeviceDb:
       query's (contig, position)-sorted seed table (device_db `skid`)
       and each ref kmer run is itself run-sorted, so emitted anchors are
       already in the reference's Anchor Ord (types.rs:499-506) — there
-      is NO per-pair anchor sort.  Slot->source mapping is a sorted-merge
-      searchsorted over the per-position offset table; positions+contigs
-      are pre-packed (ctgc << 24 | pos), one gather per anchor side
-      (AAI / out-of-range DBs keep a legacy kmer-order + 5-key-sort path);
+      is NO per-pair anchor sort.  Slot->source mapping is one scatter
+      + forward-fill cummax over the per-position offset table;
+      positions+contigs are pre-packed (ctgc << 24 | pos), one gather
+      per anchor side (AAI / out-of-range DBs keep a legacy kmer-order
+      + 5-key-sort path);
     * fragment chunking in CLOSED FORM: the reference's sequential
       cep-advance scan (reference: src/chain.rs:738-826) reduces, per contig
       segment, to m_t = min(q_t, t+1, t + prefmin_s(q_s - s)) where
