@@ -118,3 +118,40 @@ def test_device_engine_fuzz_mixed_buckets():
               and a.ci_lower == b.ci_lower)
         bad += not ok
     assert bad == 0
+
+
+def test_device_engine_fuzz_many_contigs_sorted_mode():
+    """Genomes with > 64 contigs fall off the packed position word and
+    must use the UNPACKED sorted-generation mode (separate position /
+    contig gathers, 3-plane DP) — still exact."""
+    rng = np.random.default_rng(77)
+    sp = SketchParams(c=70, k=14, marker_c=200)
+    cp = CommandParams()
+    base = BASES[rng.integers(0, 4, size=200000)]
+    sks = []
+    for g in range(3):
+        parts = []
+        for ci in range(80):            # 80 contigs > PACK_MAX_CTGS
+            lo = ci * 2500
+            s = base[lo:lo + 2400].copy()
+            nm = int(len(s) * rng.uniform(0, 0.03))
+            if nm:
+                p = rng.choice(len(s), size=nm, replace=False)
+                s[p] = BASES[rng.integers(0, 4, size=nm)]
+            parts.append(s)
+        sks.append(_mk_sketch(parts, sp, f"mc{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=3, i_cap=512, c_cap=128,
+                           l_cap=512)
+    assert eng.gen_mode == "sorted", eng.gen_mode
+    pairs = [(i, j) for i in range(3) for j in range(3) if i != j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    bad = 0
+    for (i, j), a in zip(pairs, res):
+        mp = map_params_from_sketch(sks[i], False, cp, None)
+        b = chain_seeds_native(sks[i], sks[j], mp)
+        if np.isnan(a.ani) and np.isnan(b.ani):
+            continue
+        bad += not (a.ani == b.ani
+                    and a.align_fraction_query == b.align_fraction_query
+                    and a.ci_lower == b.ci_lower)
+    assert bad == 0
