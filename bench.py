@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
-"""skani-tpu benchmark: genome-pairs/s on an all-to-all dist workload.
+"""skani-tpu benchmark: genome-pairs/s on an all-to-all triangle workload.
 
 Workload: N synthetic E. coli-derived genomes (point-mutated at 0.3-2% from
 test_files/e.coli-W.fasta.gz, fixed seed), sketched at default c=125/k=15,
-then all ordered cross pairs scored through the engine's best path.
+then all UNIQUE unordered pairs (i < j, the `triangle` workload) scored
+through the engine's best path.  Unique pairs are the honest accounting:
+the engine computes mirrored orientations by field-swapping one result, so
+ordered-pair rates would credit a symmetry trick the reference's triangle
+driver (reference: src/triangle.rs:71-105) gets for free too.
 
 Baseline: the single-thread reference-equivalent path — our native C++
 per-pair pipeline, which implements the reference algorithm exactly
@@ -104,7 +108,7 @@ def main():
     genomes = make_genomes(N_GENOMES)
     sketches, params = sketch_genomes(genomes)
     pairs = [(i, j) for i in range(N_GENOMES) for j in range(N_GENOMES)
-             if i != j]
+             if i < j]
     prep_s = time.time() - t0
 
     # warm (JIT compile etc.) on a small subset, excluded from timing
@@ -153,7 +157,8 @@ def main():
         f"single-thread-reference {base_s:.2f}s ({base_rate:.1f}/s); "
         f"mismatches {mism}\n")
     print(json.dumps({
-        "metric": "genome-pairs/s (dist all-to-all, E.coli-scale)",
+        "metric": "unique genome-pairs/s (triangle all-vs-all, "
+                  "E.coli-scale)",
         "value": round(best_rate, 2),
         "unit": "pairs/s",
         "vs_baseline": round(best_rate / base_rate, 3),

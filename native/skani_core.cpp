@@ -16,6 +16,7 @@
 #include <cstring>
 #include <cmath>
 #include <ctime>
+#include <limits>
 #include <vector>
 
 static inline double now_ms() {
@@ -718,8 +719,311 @@ static inline uint64_t wyrand_next(uint64_t& s) {
     return (uint64_t)p ^ (uint64_t)(p >> 64);
 }
 
-void fastrand_indices(int64_t n_calls, uint64_t below, uint64_t seed,
-                      uint64_t* out) {
+static void fastrand_indices_impl(int64_t n_calls, uint64_t below,
+                                  uint64_t seed, uint64_t* out);
+
+// Percentile-bootstrap CI + std over (ani_est, weight) pairs IN THEIR
+// FINAL SORTED ORDER (reference: src/chain.rs:57-86).  This is the single
+// shared implementation for every execution tier (NumPy spec, native
+// per-pair, device batch): the draw stream is wyrand(seed 7) and the
+// resample sums accumulate sequentially in double, so CI bits never
+// depend on which tier produced the estimates.  out = {lo, hi, std}.
+void bootstrap_ci(const double* anis, const int64_t* weights, int64_t n,
+                  double* out) {
+    double std = 0.0;
+    if (n > 0) {
+        double s = 0.0;
+        for (int64_t i = 0; i < n; i++) s += anis[i];
+        double mean = s / (double)n;
+        double s2 = 0.0;
+        for (int64_t i = 0; i < n; i++) {
+            double d = mean - anis[i];
+            s2 += d * d;
+        }
+        std = std::sqrt(s2 / (double)n);
+    }
+    out[0] = 0.0; out[1] = 1.0; out[2] = std;
+    if (n < 10) return;
+    std::vector<double> mult;
+    for (int64_t i = 0; i < n; i++)
+        for (int64_t m = 0; m < weights[i]; m++) mult.push_back(anis[i]);
+    if (mult.empty()) return;
+    const int64_t iters = 100;
+    std::vector<uint64_t> idx((size_t)(iters * n));
+    fastrand_indices_impl(iters * n, (uint64_t)mult.size(), 7, idx.data());
+    std::vector<double> res((size_t)iters);
+    for (int64_t it = 0; it < iters; it++) {
+        double s = 0.0;
+        for (int64_t j = 0; j < n; j++)
+            s += mult[(size_t)idx[(size_t)(it * n + j)]];
+        res[(size_t)it] = s / (double)n;
+    }
+    std::sort(res.begin(), res.end());
+    out[0] = res[(size_t)(iters * 5 / 100 - 1)];
+    out[1] = res[(size_t)(iters * 95 / 100 - 1)];
+}
+
+// ---------------------------------------------------------------------------
+// Batched finalize for the device engine: for each pair in a readback
+// batch, unpack the phase-A output row, resolve interval overlaps, answer
+// the seed-rank queries from the host rank tables
+// (skani_tpu/kernels/rank_host.py), run the per-chunk estimator tail
+// (reference: src/chain.rs:326-396) and the calculate_ani tail (trimmed
+// weighted mean + bootstrap + AF gates, reference: src/chain.rs:414-517)
+// — one C call per batch instead of ~10 Python/ctypes hops per pair.
+//
+// layout 1 = sorted_packed rows [wm1|wm2|q0|q1|r0|r1|meta|3 scalars],
+// layout 0 = the 10-field unpacked rows + 3 chunk blocks + 3 scalars.
+// Rank tables arrive as raw pointers (int64 addresses of the cached,
+// sorted packed-position arrays); rank(g, v) = ub(all) - ub(own) - ub(ban)
+// at key g*2^32 + v.
+//
+// out_f per pair: {ani (AF-gated, pre-f32-cast), covered_query,
+// covered_ref, ci_lo, ci_hi, std}; out_i per pair: {status (0 ok, 1 empty
+// result, 2 overflow -> caller falls back to the exact per-pair path),
+// avg_chain_int_len, num_chains, total_query_bases}.
+void finalize_device_batch(
+    const int32_t* packed, int64_t row_stride, int64_t n_pairs,
+    int64_t i_cap, int64_t c_cap, int32_t layout,
+    const int64_t* k_a, const int64_t* c_a, const uint8_t* switched_a,
+    const uint8_t* amino_a, const int64_t* mlc_a,
+    const uint8_t* robust_a, const uint8_t* median_a,
+    const double* bothcut_a, const double* fraccut_a,
+    const int64_t* qlen_a, const int64_t* rlen_a,
+    const int64_t* all_addr, const int64_t* all_len,
+    const int64_t* own_addr, const int64_t* own_len,
+    const int64_t* ban_addr, const int64_t* ban_len,
+    double* out_f, int64_t* out_i) {
+    const int64_t I = i_cap, C = c_cap;
+    for (int64_t w = 0; w < n_pairs; w++) {
+        const int32_t* row = packed + w * row_stride;
+        double* of = out_f + w * 6;
+        int64_t* oi = out_i + w * 4;
+        const int64_t k = k_a[w], c = c_a[w];
+        const bool switched = switched_a[w], amino = amino_a[w];
+        int64_t n_chunks, overflow;
+        if (layout == 1) {
+            n_chunks = row[6 * I + C];
+            overflow = row[6 * I + C + 2];
+        } else {
+            n_chunks = row[10 * I + 3 * C];
+            overflow = row[10 * I + 3 * C + 2];
+        }
+        if (overflow) { oi[0] = 2; continue; }
+
+        // --- unpack intervals + chunk metadata ---
+        std::vector<Interval> ivs;
+        std::vector<int64_t> chunk_hi(n_chunks), chunk_ctg(n_chunks);
+        std::vector<uint8_t> chunk_new(n_chunks);
+        if (layout == 1) {
+            const int32_t* meta = row + 6 * I;
+            for (int64_t t = 0; t < n_chunks; t++) {
+                int32_t m = meta[t];
+                if (m < 0) { chunk_hi[t] = -1; chunk_ctg[t] = -1;
+                             chunk_new[t] = 0; }
+                else { chunk_hi[t] = m >> 7; chunk_ctg[t] = (m >> 1) & 0x3F;
+                       chunk_new[t] = (uint8_t)(m & 1); }
+            }
+            for (int64_t i = 0; i < I; i++) {
+                int32_t wm1 = row[i], wm2 = row[I + i];
+                if (!(wm1 & 1)) continue;
+                int64_t cid = wm2 >> 7;
+                ivs.push_back({(double)(wm1 >> 11), (int64_t)((wm1 >> 1) & 0x3FF),
+                               (uint32_t)row[2 * I + i], (uint32_t)row[3 * I + i],
+                               (uint32_t)row[4 * I + i], (uint32_t)row[5 * I + i],
+                               (wm2 >> 1) & 0x3F, chunk_ctg[(size_t)cid], cid,
+                               (uint8_t)(wm2 & 1)});
+            }
+        } else {
+            const int32_t* hi_b = row + 10 * I;
+            const int32_t* ctg_b = hi_b + C;
+            const int32_t* new_b = ctg_b + C;
+            for (int64_t t = 0; t < n_chunks; t++) {
+                chunk_hi[t] = hi_b[t]; chunk_ctg[t] = ctg_b[t];
+                chunk_new[t] = (uint8_t)new_b[t];
+            }
+            for (int64_t i = 0; i < I; i++) {
+                if (!row[i]) continue;   // valid block
+                int64_t cid = row[8 * I + i];
+                ivs.push_back({(double)row[I + i], (int64_t)row[2 * I + i],
+                               (uint32_t)row[3 * I + i], (uint32_t)row[4 * I + i],
+                               (uint32_t)row[5 * I + i], (uint32_t)row[6 * I + i],
+                               (int64_t)row[7 * I + i], chunk_ctg[(size_t)cid],
+                               cid, (uint8_t)row[9 * I + i]});
+            }
+        }
+        std::vector<std::vector<Interval>> good;
+        nonoverlap(ivs, n_chunks, good);
+
+        // --- rank tables for this pair ---
+        const int64_t* t_all = (const int64_t*)(uintptr_t)all_addr[w];
+        const int64_t* t_own = (const int64_t*)(uintptr_t)own_addr[w];
+        const int64_t* t_ban = (const int64_t*)(uintptr_t)ban_addr[w];
+        const int64_t n_all = all_len[w], n_own = own_len[w],
+            n_ban = ban_len[w];
+        auto rank = [&](int64_t ctg, int64_t v) -> int64_t {
+            int64_t key = ctg * (int64_t)4294967296LL + v;
+            auto ub = [&](const int64_t* t, int64_t n) -> int64_t {
+                return std::upper_bound(t, t + n, key) - t;
+            };
+            int64_t r = ub(t_all, n_all);
+            if (n_own) r -= ub(t_own, n_own);
+            if (n_ban) r -= ub(t_ban, n_ban);
+            return r;
+        };
+
+        // --- per-chunk aggregation + estimator tail ---
+        std::vector<double> ests;
+        std::vector<int64_t> wts;
+        uint64_t total_query_bases = 0, total_ref_range = 0, avg_sum = 0;
+        int64_t num_chains = 0;
+        bool sensitive_af = c < 200;
+        for (int64_t t = 0; t < n_chunks; t++) {
+            const auto& g = good[(size_t)t];
+            int64_t total_anchors = 0;
+            uint64_t tbc_query = 0;
+            int64_t trq0 = INT64_MAX, trq1 = INT64_MIN;
+            std::vector<std::pair<int64_t, int64_t>> unions;
+            for (const auto& iv : g) {
+                total_anchors += iv.num_anchors;
+                if ((int64_t)iv.q0 < trq0) trq0 = iv.q0;
+                if ((int64_t)iv.q1 > trq1) trq1 = iv.q1;
+                if (!switched)
+                    tbc_query += (uint64_t)(iv.q1 - iv.q0) + k + 2 * c;
+                else
+                    tbc_query += (uint64_t)(iv.r1 - iv.r0) + k + 2 * c;
+                unions.push_back({std::max((int64_t)iv.q0 - c, (int64_t)0),
+                                  (int64_t)iv.q1 + c});
+                uint64_t add = (uint64_t)(iv.q1 - iv.q0) + 2 * c + k;
+                if (sensitive_af) {
+                    total_query_bases += add;
+                    total_ref_range += add;
+                }
+                avg_sum += add;
+                num_chains++;
+            }
+            if (total_anchors == 0) continue;
+            if (trq1 - trq0 < mlc_a[w]) continue;
+            if (!sensitive_af) {
+                uint64_t add = (uint64_t)(trq1 - trq0) + 2 * c + k;
+                total_query_bases += add;
+                total_ref_range += add;
+            }
+            std::sort(unions.begin(), unions.end());
+            std::vector<std::pair<int64_t, int64_t>> merged;
+            for (auto& u : unions) {
+                if (!merged.empty() && u.first <= merged.back().second)
+                    merged.back().second = std::max(merged.back().second,
+                                                    u.second);
+                else merged.push_back(u);
+            }
+            // rank-query window (matches process_intervals' emission):
+            // seeds counted within (lo, hi] of the chunk's query contig
+            int64_t lo = -1;
+            if (t > 0 && !chunk_new[(size_t)t]) lo = chunk_hi[(size_t)(t - 1)];
+            int64_t hi = chunk_hi[(size_t)t];
+            int64_t ctg = chunk_ctg[(size_t)t];
+            int64_t r_lo = rank(ctg, lo), r_hi = rank(ctg, hi);
+            int64_t total_seeds = r_hi - r_lo;
+            int64_t in_range = rank(ctg, std::min(trq1, hi))
+                - rank(ctg, std::max(trq0 - 1, lo));
+            double in_union = 0.0;
+            for (auto& m : merged)
+                in_union += (double)(rank(ctg, std::min(m.second, hi))
+                                     - rank(ctg, std::max(m.first - 1, lo)));
+            // estimator tail (reference: src/chain.rs:326-396; mirrors
+            // device_pipeline._finalize_chunks bit for bit)
+            double putative = std::pow((double)total_anchors / in_union,
+                                       1.0 / (double)k);
+            int64_t considered = total_seeds;
+            if (putative > 0.950 && tbc_query > (uint64_t)(c * 4) && !amino
+                && trq1 - trq0 < 18000
+                && (double)considered > 1.05 * (double)in_range)
+                considered = in_range;
+            double ml;
+            if (amino)
+                ml = (double)total_anchors / (double)considered * 6.0;
+            else
+                ml = (double)total_anchors / (double)considered;
+            if (!(ml < 1.0)) ml = 1.0;   // np.minimum(1.0, ml)
+            ests.push_back(std::pow(ml, 1.0 / (double)k));
+            wts.push_back(amino ? total_seeds / 6 : considered);
+        }
+
+        // --- calculate_ani tail (reference: src/chain.rs:414-517) ---
+        if (ests.empty() || num_chains == 0) { oi[0] = 1; continue; }
+        int64_t n_est = (int64_t)ests.size();
+        std::vector<int64_t> ord((size_t)n_est);
+        for (int64_t i = 0; i < n_est; i++) ord[(size_t)i] = i;
+        std::stable_sort(ord.begin(), ord.end(),
+                         [&](int64_t a, int64_t b) {
+                             if (ests[(size_t)a] != ests[(size_t)b])
+                                 return ests[(size_t)a] < ests[(size_t)b];
+                             return wts[(size_t)a] < wts[(size_t)b];
+                         });
+        std::vector<double> s_est((size_t)n_est);
+        std::vector<int64_t> s_wt((size_t)n_est);
+        for (int64_t i = 0; i < n_est; i++) {
+            s_est[(size_t)i] = ests[(size_t)ord[(size_t)i]];
+            s_wt[(size_t)i] = wts[(size_t)ord[(size_t)i]];
+        }
+        int64_t total_mult = 0;
+        for (int64_t i = 0; i < n_est; i++) total_mult += s_wt[(size_t)i];
+        double lower = 0.0, upper = 1.0;
+        if (median_a[w]) { lower = 0.499; upper = 0.501; }
+        else if (robust_a[w]) { lower = 0.10; upper = 0.90; }
+        int64_t lower_i = 0, upper_i = n_est - 1;
+        bool changed_l = false;
+        int64_t curr = 0;
+        for (int64_t i = 0; i < n_est; i++) {
+            curr += s_wt[(size_t)i];
+            if (curr >= (int64_t)((double)total_mult * lower) && !changed_l) {
+                lower_i = i; changed_l = true;
+            }
+            if (curr >= (int64_t)((double)total_mult * upper)) {
+                upper_i = i + 1; break;
+            }
+        }
+        double w_avg = 0.0;
+        int64_t w_total = 0;
+        for (int64_t i = lower_i; i < upper_i; i++) {
+            w_avg += s_est[(size_t)i] * (double)s_wt[(size_t)i];
+            w_total += s_wt[(size_t)i];
+        }
+        double final_ani = w_total
+            ? w_avg / (double)w_total
+            : std::numeric_limits<double>::quiet_NaN();
+        double ci[3];
+        bootstrap_ci(s_est.data(), s_wt.data(), n_est, ci);
+        double covered_query = (double)total_query_bases / (double)qlen_a[w];
+        if (!(covered_query < 1.0)) covered_query = 1.0;
+        double covered_ref = (double)total_ref_range / (double)rlen_a[w];
+        if (!(covered_ref < 1.0)) covered_ref = 1.0;
+        if (bothcut_a[w] > 0.0) {
+            if (covered_query < bothcut_a[w] || covered_ref < bothcut_a[w])
+                final_ani = -1.0;
+        } else if (amino) {
+            if (covered_query < fraccut_a[w] || covered_ref < fraccut_a[w])
+                final_ani = -1.0;
+        } else if (covered_query < fraccut_a[w]
+                   && covered_ref < fraccut_a[w]) {
+            final_ani = -1.0;
+        }
+        of[0] = final_ani;
+        of[1] = covered_query;
+        of[2] = covered_ref;
+        of[3] = ci[0];
+        of[4] = ci[1];
+        of[5] = ci[2];
+        oi[0] = 0;
+        oi[1] = num_chains ? (int64_t)(avg_sum / (uint64_t)num_chains) : 0;
+        oi[2] = num_chains;
+        oi[3] = (int64_t)total_query_bases;
+    }
+}
+
+static void fastrand_indices_impl(int64_t n_calls, uint64_t below,
+                                  uint64_t seed, uint64_t* out) {
     uint64_t s = seed;
     const uint64_t t = below ? (uint64_t)(-(int64_t)below) % below : 0;
     for (int64_t j = 0; j < n_calls; j++) {
@@ -736,6 +1040,11 @@ void fastrand_indices(int64_t n_calls, uint64_t below, uint64_t seed,
         }
         out[j] = hi;
     }
+}
+
+void fastrand_indices(int64_t n_calls, uint64_t below, uint64_t seed,
+                      uint64_t* out) {
+    fastrand_indices_impl(n_calls, below, seed, out);
 }
 
 }  // extern "C"

@@ -23,6 +23,15 @@ fi
 echo "capturing test log for v${VERSION} -> ${OUT}/"
 # tests on the CPU backend (the CI configuration); bench on the real
 # accelerator (whatever jax selects by default on this host)
-JAX_PLATFORMS=cpu python -m pytest tests/ -q -rA 2>&1 | tee "${OUT}/test_log.txt"
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python -m pytest tests/ -q -rA 2>&1 | tee "${OUT}/test_log.txt"
+# tests against the REAL accelerator backend: the compiled device kernels
+# (Pallas DP, MXU gathers, packed readbacks) are only exercised here —
+# round 2 shipped a TPU-red fuzz test because this gate ran CPU-only.
+# Both configurations must pass (tests/conftest.py contract).
+python -m pytest tests/test_device_engine.py tests/test_dp_pallas.py \
+    tests/test_gather_pallas.py tests/test_device_fuzz.py \
+    tests/test_executor_equivalence.py -q -rA 2>&1 \
+    | tee "${OUT}/test_log_accel.txt"
 python bench.py 2>/dev/null | tee "${OUT}/bench.json"
 echo "done: $(date -u +%Y-%m-%dT%H:%M:%SZ)" | tee -a "${OUT}/test_log.txt"

@@ -64,8 +64,21 @@ class AniEstResult:
 
 def bootstrap_interval(ani_ests: List[tuple]) -> tuple:
     """Percentile bootstrap with the reference's seeded PRNG
-    (reference: src/chain.rs:57-86; fastrand 1.9 wyrand, seed 7)."""
+    (reference: src/chain.rs:57-86; fastrand 1.9 wyrand, seed 7).
+
+    The whole computation (draw stream + resample sums) lives in ONE
+    shared C++ implementation (native.bootstrap_ci_native) used by every
+    execution tier — NumPy spec, native per-pair, and the device batch
+    finalize — so CI bits are identical across tiers by construction.
+    The NumPy form below is the no-toolchain fallback (its summation
+    order differs from the sequential C++ sums in the last ulp, which
+    the f32 result fields almost never expose)."""
+    from . import native
     anis = np.array([a for a, _m in ani_ests], dtype=np.float64)
+    weights = np.array([m for _a, m in ani_ests], dtype=np.int64)
+    ci = native.bootstrap_ci_native(anis, weights)
+    if ci is not None:
+        return float(ci[0]), float(ci[1]), float(ci[2])
     if len(anis) > 0:
         mean = anis.mean()
         std = float(np.sqrt(np.mean((mean - anis) ** 2)))
@@ -74,18 +87,9 @@ def bootstrap_interval(ani_ests: List[tuple]) -> tuple:
     num_samp = len(ani_ests)
     if num_samp < 10:
         return 0.0, 1.0, std
-    mult_anis = np.repeat(anis, [m for _a, m in ani_ests])
+    mult_anis = np.repeat(anis, weights)
     iters = 100
-    # the wyrand draw stream comes from the C++ core when built (the
-    # expensive part); the gather + per-iteration summation stays in
-    # numpy so the float accumulation order never depends on which
-    # backend produced the indices
-    from . import native
-    idx = native.fastrand_indices_native(iters * num_samp, len(mult_anis),
-                                         7)
-    if idx is None:
-        idx = fastrand_usize_below_batch(7, iters * num_samp,
-                                         len(mult_anis))
+    idx = fastrand_usize_below_batch(7, iters * num_samp, len(mult_anis))
     sums = mult_anis[idx.astype(np.int64)].reshape(
         iters, num_samp).sum(axis=1)
     res = np.sort(sums / num_samp)

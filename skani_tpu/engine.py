@@ -100,6 +100,15 @@ def _auto_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
     dispatch, the native per-pair C++ path otherwise.  Both paths are exact
     (enforced by tests/test_executor_equivalence.py), so routing is purely a
     performance decision."""
+    from . import multihost
+    if multihost.is_active():
+        # multi-host runs MUST go through the fleet regardless of batch
+        # size or backend: non-owned refs are marker-only stubs whose
+        # seeds live on the owning process, so the local per-pair path
+        # would silently chain against empty sketches
+        from .kernels.pipeline import tpu_pair_executor
+        return tpu_pair_executor(ref_sketches, query_sketches, pairs,
+                                 sketch_params, command_params, model)
     min_pairs = int(os.environ.get("SKANI_TPU_MIN_PAIRS", "24"))
     if len(pairs) >= min_pairs and _accelerator_present():
         from .kernels.pipeline import tpu_pair_executor

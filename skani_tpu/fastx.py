@@ -99,7 +99,14 @@ def _iter_fastq(data: bytes, path: str) -> Iterator[Tuple[str, np.ndarray]]:
         i += 1   # skip the '+' separator
         qlen = 0
         while i < n and qlen < len(seq):
-            qlen += len(lines[i].rstrip(b"\r"))
+            qline = lines[i].rstrip(b"\r")
+            if not qline:
+                # a blank quality line can never catch up to the sequence
+                # length; without this guard the catch-up loop would swallow
+                # the next '@' header as quality and silently desync records
+                raise InvalidFastxError(
+                    f"{path} is not a valid fastq file")
+            qlen += len(qline)
             i += 1
         yield header.decode("utf-8", "replace"), \
             np.frombuffer(seq, dtype=np.uint8)

@@ -82,25 +82,30 @@ def get_model(c: int, learned_ani: bool) -> Optional[GbdtModel]:
     return _load("gbdt_c200.npz")
 
 
-def predict_from_ani_res(ani_res, model: GbdtModel) -> None:
-    """reference: src/regression.rs:30-64 (feature order depends on which
-    genome has the larger median contig length)."""
-    if not (np.float32(ani_res.ani) > np.float32(0.9)
-            and ani_res.total_bases_covered > TOTAL_BASES_REGRESS_CUTOFF):
-        return
+def _gbdt_features(ani_res) -> list:
+    """reference: src/regression.rs:33-55 — feature order depends on which
+    genome has the larger median contig length."""
     if ani_res.quant_50_contig_len_r > ani_res.quant_50_contig_len_q:
-        feats = [np.float32(ani_res.ani) * np.float32(100.0),
-                 ani_res.std,
-                 ani_res.quant_90_contig_len_r,
-                 ani_res.quant_90_contig_len_q,
-                 np.float32(ani_res.avg_chain_int_len)]
-    else:
-        feats = [np.float32(ani_res.ani) * np.float32(100.0),
-                 ani_res.std,
-                 ani_res.quant_90_contig_len_q,
-                 ani_res.quant_90_contig_len_r,
-                 np.float32(ani_res.avg_chain_int_len)]
-    pred = float(model.predict(np.array(feats, dtype=np.float32))[0])
+        return [np.float32(ani_res.ani) * np.float32(100.0),
+                ani_res.std,
+                ani_res.quant_90_contig_len_r,
+                ani_res.quant_90_contig_len_q,
+                np.float32(ani_res.avg_chain_int_len)]
+    return [np.float32(ani_res.ani) * np.float32(100.0),
+            ani_res.std,
+            ani_res.quant_90_contig_len_q,
+            ani_res.quant_90_contig_len_r,
+            np.float32(ani_res.avg_chain_int_len)]
+
+
+def _gbdt_qualifies(ani_res) -> bool:
+    """reference: src/regression.rs:31"""
+    return bool(np.float32(ani_res.ani) > np.float32(0.9)
+                and ani_res.total_bases_covered > TOTAL_BASES_REGRESS_CUTOFF)
+
+
+def _gbdt_apply(ani_res, pred: float) -> None:
+    """reference: src/regression.rs:58-62"""
     if pred < 100.0:
         p = float(np.float32(pred) / np.float32(100.0))
         ani_res.ci_upper = float(np.float32(ani_res.ci_upper)
@@ -108,3 +113,29 @@ def predict_from_ani_res(ani_res, model: GbdtModel) -> None:
         ani_res.ci_lower = float(np.float32(ani_res.ci_lower)
                                  - np.float32(ani_res.ani) + np.float32(p))
         ani_res.ani = p
+
+
+def predict_from_ani_res(ani_res, model: GbdtModel) -> None:
+    """reference: src/regression.rs:30-64"""
+    if not _gbdt_qualifies(ani_res):
+        return
+    feats = _gbdt_features(ani_res)
+    pred = float(model.predict(np.array(feats, dtype=np.float32))[0])
+    _gbdt_apply(ani_res, pred)
+
+
+def predict_from_ani_res_batch(results, model: GbdtModel) -> None:
+    """Batched debias over many results: ONE tree-ensemble readout for the
+    whole batch instead of a 195-iteration accumulation loop per pair.
+    Bit-identical to per-pair predict_from_ani_res (the readout is
+    elementwise across the batch dimension)."""
+    if model is None:
+        return
+    todo = [r for r in results
+            if r is not None and not np.isnan(r.ani) and _gbdt_qualifies(r)]
+    if not todo:
+        return
+    feats = np.array([_gbdt_features(r) for r in todo], dtype=np.float32)
+    preds = model.predict(feats)
+    for r, pred in zip(todo, preds):
+        _gbdt_apply(r, float(pred))

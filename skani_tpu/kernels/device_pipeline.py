@@ -99,6 +99,20 @@ def _ceil_log2(n: int) -> int:
     return int(np.ceil(np.log2(max(n, 2))))
 
 
+def _contig_quants(sk):
+    """Cached 10/50/90% contig-length quantiles, pre-cast through f32
+    exactly as finalize_ani computes them (reference: src/chain.rs:519-554)."""
+    qs = getattr(sk, "_quants_cache", None)
+    if qs is None:
+        s = np.sort(sk.contig_lengths)
+        n = len(s)
+        qs = (float(np.float32(s[n * 10 // 100])),
+              float(np.float32(s[n * 50 // 100])),
+              float(np.float32(s[n * 90 // 100])))
+        sk._quants_cache = qs
+    return qs
+
+
 def _row_gather(mat, idx):
     """take_along_axis(mat, idx, axis=1) as a flat 1-D gather.
 
@@ -501,6 +515,12 @@ def phase_a(db, a_idx, b_idx,
     bcl = jnp.clip((A - 1) - (g_best & ((1 << INVBITS) - 1)), 0, A - 1)
     num_anchors = _row_gather(dep_c, bcl) + 1
     good = has & (num_anchors >= min_anchors)
+    if gen_mode == "sorted_packed":
+        # the packed readback carries num_anchors in 10 bits; chain depth
+        # is bounded only by L_CAP (1024+ for dense presets), so deeper
+        # chains fall back to the exact native path instead of wrapping
+        # into the adjacent score field (mirrors the score_lim guard)
+        overflow |= jnp.any(good & (num_anchors > 0x3FF), axis=1)
     g_qp0 = _row_gather(qp, rcl)
     g_rp0 = _row_gather(rp, rcl)
     g_qp1 = _row_gather(qp, bcl)
@@ -747,15 +767,128 @@ class DevicePairEngine:
                 np.asarray(qc), np.asarray(qv)))
         return batch_recs, ranks
 
+    def _process_batch_native(self, group, packed, out) -> bool:
+        """One native call for the whole batch's post-readback work:
+        unpack + overlap resolution + rank answering + estimator tail +
+        trimmed mean + bootstrap CI (native/skani_core.cpp
+        finalize_device_batch).  Replaces ~10 Python/ctypes hops per pair;
+        bit-identical results (the C++ shares bootstrap_ci with
+        finalize_ani and transcribes _finalize_chunks' float ops).
+        Returns False when the native lib is unavailable or the Python
+        path is forced (SKANI_TPU_PY_FINALIZE=1)."""
+        import ctypes
+
+        from .. import native
+        from ..ani import AniEstResult, chain_seeds_native
+        from ..gbdt import predict_from_ani_res_batch
+        from . import rank_host
+
+        lib = native.get_lib()
+        if lib is None or os.environ.get("SKANI_TPU_PY_FINALIZE") == "1":
+            return False
+        n = len(group)
+        layout = 1 if self.gen_mode == "sorted_packed" else 0
+        k_a = np.empty(n, np.int64)
+        c_a = np.empty(n, np.int64)
+        sw_a = np.empty(n, np.uint8)
+        am_a = np.empty(n, np.uint8)
+        mlc_a = np.empty(n, np.int64)
+        rb_a = np.empty(n, np.uint8)
+        md_a = np.empty(n, np.uint8)
+        bc_a = np.empty(n, np.float64)
+        fc_a = np.empty(n, np.float64)
+        ql_a = np.empty(n, np.int64)
+        rl_a = np.empty(n, np.int64)
+        addrs = np.zeros((3, n), np.int64)
+        lens = np.zeros((3, n), np.int64)
+        keep = []   # keep the table arrays alive across the C call
+        for w, (_t, a, b, sw, mp, ri, qi, _ba) in enumerate(group):
+            k_a[w] = mp.k
+            c_a[w] = int(self.sketches[ri].c)
+            sw_a[w] = 1 if sw else 0
+            am_a[w] = 1 if mp.amino_acid else 0
+            mlc_a[w] = mp.min_length_cover
+            rb_a[w] = 1 if mp.robust else 0
+            md_a[w] = 1 if mp.median else 0
+            bc_a[w] = mp.both_frac_cover_cutoff
+            fc_a[w] = mp.frac_cover_cutoff
+            ql_a[w] = self.sketches[qi].total_sequence_length
+            rl_a[w] = self.sketches[ri].total_sequence_length
+            qsk, rsk = self.sketches[a], self.sketches[b]
+            packed_all, own_excl, _rep, _cnt = rank_host._tables(
+                qsk, mp.index_chain_band)
+            banned = rank_host.pair_banned_positions(qsk, rsk,
+                                                     mp.index_chain_band)
+            for s, t_arr in enumerate((packed_all, own_excl, banned)):
+                addrs[s, w] = t_arr.ctypes.data if len(t_arr) else 0
+                lens[s, w] = len(t_arr)
+                keep.append(t_arr)
+        out_f = np.zeros((n, 6), np.float64)
+        out_i = np.zeros((n, 4), np.int64)
+        packed = np.ascontiguousarray(packed, np.int32)
+        lib.finalize_device_batch(
+            packed, packed.shape[1], n, self.I_CAP, self.C_CAP, layout,
+            k_a, c_a, sw_a, am_a, mlc_a, rb_a, md_a, bc_a, fc_a, ql_a,
+            rl_a,
+            np.ascontiguousarray(addrs[0]), np.ascontiguousarray(lens[0]),
+            np.ascontiguousarray(addrs[1]), np.ascontiguousarray(lens[1]),
+            np.ascontiguousarray(addrs[2]), np.ascontiguousarray(lens[2]),
+            out_f.reshape(-1), out_i.reshape(-1))
+        del keep
+        f32 = np.float32
+        fresh, fresh_model = [], None
+        for w, (t, _a, _b, sw, mp, ri, qi, _ba) in enumerate(group):
+            status = out_i[w, 0]
+            if status == 2:       # overflow -> exact per-pair fallback
+                out[t] = chain_seeds_native(self.sketches[ri],
+                                            self.sketches[qi], mp)
+                continue
+            if status == 1:       # no chains -> nan result
+                r = AniEstResult()
+                r.ani = float("nan")
+                out[t] = r
+                continue
+            ref = self.sketches[ri]
+            q = self.sketches[qi]
+            qt = _contig_quants(q)
+            rt = _contig_quants(ref)
+            res = AniEstResult(
+                ani=float(f32(out_f[w, 0])),
+                align_fraction_query=float(f32(out_f[w, 1])),
+                align_fraction_ref=float(f32(out_f[w, 2])),
+                ref_file=ref.file_name,
+                query_file=q.file_name,
+                query_contig=q.contigs[0],
+                ref_contig=ref.contigs[0],
+                num_contigs_r=len(ref.contigs),
+                num_contigs_q=len(q.contigs),
+                ci_lower=float(f32(out_f[w, 3])),
+                ci_upper=float(f32(out_f[w, 4])),
+                aai=mp.amino_acid,
+                quant_90_contig_len_q=qt[2], quant_90_contig_len_r=rt[2],
+                quant_50_contig_len_q=qt[1], quant_50_contig_len_r=rt[1],
+                quant_10_contig_len_q=qt[0], quant_10_contig_len_r=rt[0],
+                std=float(f32(out_f[w, 5])),
+                avg_chain_int_len=int(out_i[w, 1]),
+                total_bases_covered=int(out_i[w, 3]),
+            )
+            if mp.model is not None:
+                fresh.append(res)
+                fresh_model = mp.model
+            out[t] = res
+        predict_from_ani_res_batch(fresh, fresh_model)
+        return True
+
     def _finalize_batch(self, group, batch_recs, ranks, out):
         from ..ani import chain_seeds_native, finalize_ani
-        from ..gbdt import predict_from_ani_res
+        from ..gbdt import predict_from_ani_res_batch
 
+        fresh, fresh_model = [], None
         for w, (t, _a, _b, sw, mp, ri, qi, _ba) in enumerate(group):
             ref = self.sketches[ri]
             q = self.sketches[qi]
             if batch_recs[w] is None:
-                out[t] = chain_seeds_native(ref, q, mp)
+                out[t] = chain_seeds_native(ref, q, mp)   # applies GBDT
                 continue
             recs, totals = batch_recs[w]
             ani_ests = self._finalize_chunks(recs, ranks[w], int(ref.c), mp)
@@ -764,8 +897,13 @@ class DevicePairEngine:
             res = finalize_ani(ani_ests, tqb, trr, avg_len, num_chains,
                                ref, q, mp, avg_already_divided=True)
             if mp.model is not None:
-                predict_from_ani_res(res, mp.model)
+                fresh.append(res)
+                fresh_model = mp.model
             out[t] = res
+        # ONE batched tree-ensemble readout for the whole device batch
+        # (bit-identical to the per-pair call; the 195-tree accumulation
+        # loop amortizes across pairs)
+        predict_from_ani_res_batch(fresh, fresh_model)
 
     @staticmethod
     def _mirror_result(res):
@@ -884,15 +1022,15 @@ class DevicePairEngine:
             t0 = time.perf_counter()
             packed = np.asarray(ph)
             t1 = time.perf_counter()
-            batch_recs, ranks = self._host_process(group, packed)
-            t2 = time.perf_counter()
-            self._finalize_batch(group, batch_recs, ranks, out)
+            if not self._process_batch_native(group, packed, out):
+                batch_recs, ranks = self._host_process(group, packed)
+                self._finalize_batch(group, batch_recs, ranks, out)
             if timing:
                 import sys
                 sys.stderr.write(
                     f"# batch n={len(group)} readback {1e3 * (t1 - t0):.1f}"
-                    f"ms host {1e3 * (t2 - t1):.1f}ms finalize "
-                    f"{1e3 * (time.perf_counter() - t2):.1f}ms\n")
+                    f"ms host+finalize "
+                    f"{1e3 * (time.perf_counter() - t1):.1f}ms\n")
 
         workers = []
         if host_workers > 0 and len(meta) > 2 * self.R:

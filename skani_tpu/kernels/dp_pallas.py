@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import D_MAX_LIN_LENGTH
 
 NEGI = -(1 << 29)  # "impossible" combined score
+I32MAX = np.int32(2 ** 31 - 1)
 
 
 def dbits(L: int) -> int:
@@ -115,11 +116,42 @@ def _dp_kernel(qp_ref, rp_ref, rcv_ref, dd_ref, root_ref,
     jax.lax.fori_loop(0, L, step, 0)
 
 
+def _rc_blocking(RC: int, rc_block: int):
+    """Pick a lane-block size dividing RC (constructor-driven RC = R*C_CAP
+    is not always a multiple of 256), padding RC up to a lane multiple if
+    needed.  Padded lanes hold zeroed inputs (valid bit 0), so every
+    transition is masked and the DP emits dp=0/root=t there — sliced off
+    by the caller."""
+    rc_pad = ((RC + 127) // 128) * 128
+    if rc_pad % 256 == 0 and rc_block >= 256:
+        blk = 256
+    elif rc_pad >= 128:
+        blk = 128
+    else:
+        blk = rc_pad
+    return rc_pad, min(blk, rc_block if rc_block >= 128 else blk)
+
+
+def _pad_lanes(x, rc_pad: int, fill):
+    L, RC = x.shape
+    if rc_pad == RC:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((L, rc_pad - RC), fill, x.dtype)], axis=1)
+
+
 def _dp_pallas(qp, rp, rcv, band: int, pcl: int, max_gap: int,
                anchor_score: int, rc_block: int = 256,
                interpret: bool = False):
     L, RC = qp.shape
-    rc_block = min(rc_block, RC)
+    rc_pad, rc_block = _rc_blocking(RC, rc_block)
+    if rc_pad != RC:
+        qp = _pad_lanes(qp, rc_pad, I32MAX)
+        rp = _pad_lanes(rp, rc_pad, I32MAX)
+        rcv = _pad_lanes(rcv, rc_pad, 0)
+        dd, root = _dp_pallas(qp, rp, rcv, band, pcl, max_gap,
+                              anchor_score, rc_block, interpret)
+        return dd[:, :RC], root[:, :RC]
     assert RC % rc_block == 0
     DBITS = dbits(L)
     RING = ring_size(band)
@@ -293,7 +325,13 @@ def _dp_pallas_packed(qprv, rprc, band: int, pcl: int, max_gap: int,
                       anchor_score: int, EBITS: int, rc_block: int = 256,
                       interpret: bool = False):
     L, RC = qprv.shape
-    rc_block = min(rc_block, RC)
+    rc_pad, rc_block = _rc_blocking(RC, rc_block)
+    if rc_pad != RC:
+        qprv = _pad_lanes(qprv, rc_pad, 0)
+        rprc = _pad_lanes(rprc, rc_pad, 0)
+        ddr = _dp_pallas_packed(qprv, rprc, band, pcl, max_gap,
+                                anchor_score, EBITS, rc_block, interpret)
+        return ddr[:, :RC]
     assert RC % rc_block == 0
     RING = ring_size(band)
     kern = functools.partial(

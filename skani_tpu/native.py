@@ -107,6 +107,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fastrand_indices.restype = None
     lib.fastrand_indices.argtypes = [
         ctypes.c_int64, ctypes.c_uint64, ctypes.c_uint64, u64p]
+    lib.bootstrap_ci.restype = None
+    lib.bootstrap_ci.argtypes = [f64p, i64p, ctypes.c_int64, f64p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.finalize_device_batch.restype = None
+    lib.finalize_device_batch.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        i64p, i64p, u8p, u8p, i64p, u8p, u8p, f64p, f64p, i64p, i64p,
+        i64p, i64p, i64p, i64p, i64p, i64p,
+        f64p, i64p]
     _lib = lib
     return _lib
 
@@ -218,6 +228,21 @@ def run_pair_native(q_sk, r_sk, map_params, switched: bool, c: int):
            int(o.num_chains), int(o.n_anchors))
     lib.free_pair_output(out)
     return ret
+
+
+def bootstrap_ci_native(anis: np.ndarray,
+                        weights: np.ndarray) -> Optional[np.ndarray]:
+    """Bootstrap CI + std over SORTED (est, weight) pairs — the single
+    shared implementation used by every execution tier (see the C++
+    docstring).  Returns [lo, hi, std] or None without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.zeros(3, dtype=np.float64)
+    lib.bootstrap_ci(np.ascontiguousarray(anis, np.float64),
+                     np.ascontiguousarray(weights, np.int64),
+                     len(anis), out)
+    return out
 
 
 def fastrand_indices_native(n_calls: int, below: int,

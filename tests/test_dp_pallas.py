@@ -93,6 +93,28 @@ def test_packed_pallas_matches_packed_scan():
     np.testing.assert_array_equal(np.asarray(ddr_s), np.asarray(ddr_p))
 
 
+@pytest.mark.parametrize("RC", [384, 320, 96])
+def test_pallas_dp_odd_lane_counts(RC):
+    """Constructor-driven shapes yield RC = R*C_CAP values that are not
+    multiples of 256 (the round-2 TPU-suite failure: batch=3, c_cap=128 ->
+    RC=384); the kernel must pick a dividing block or pad lanes."""
+    rng = np.random.default_rng(3)
+    L, band, pcl, max_gap = 32, 20, 2500, 300
+    qp, rp, rcv = _random_rows(rng, L, RC)
+    dd_s, root_s = _dp_scan(qp, rp, rcv, band, pcl, max_gap, 20, unroll=8)
+    dd_p, root_p = _dp_pallas(qp, rp, rcv, band, pcl, max_gap, 20,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(dd_s), np.asarray(dd_p))
+    np.testing.assert_array_equal(np.asarray(root_s), np.asarray(root_p))
+    qprv, rprc = _pack_inputs(qp, rp, rcv)
+    EBITS = int(np.ceil(np.log2(L)))
+    ddr_s = _dp_scan_packed(qprv, rprc, band, pcl, max_gap, 20, EBITS,
+                            unroll=8)
+    ddr_p = _dp_pallas_packed(qprv, rprc, band, pcl, max_gap, 20, EBITS,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(ddr_s), np.asarray(ddr_p))
+
+
 def test_scan_dp_chains_elementary():
     """Three colinear anchors chain with score 2*anchor_score and the root
     column propagates (reference: src/chain.rs:557-603 scoring)."""
