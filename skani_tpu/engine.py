@@ -325,6 +325,180 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
     return anis
 
 
+def _iter_query_sketches(command_params: CommandParams,
+                         sketch_params: SketchParams):
+    """Yield query sketches across all query files (shared by both search
+    paths)."""
+    for query_file in command_params.query_files:
+        if command_params.queries_are_sketch:
+            q_params, query_sketches = db.sketches_from_sketch([query_file])
+            if q_params != sketch_params and "markers.bin" not in query_file:
+                log.warning(f"Query sketch parameters for {query_file} not "
+                            f"equal to reference sketch parameters; no ANI "
+                            f"calculated")
+        elif command_params.individual_contig_q:
+            query_sketches = fastx_to_multiple_sketch_rewrite(
+                [query_file], sketch_params, True, warn=log.warning)
+        else:
+            query_sketches = fastx_to_sketches(
+                [query_file], sketch_params, True, warn=log.warning)
+        yield from query_sketches
+
+
+def _search_device_resident(command_params: CommandParams,
+                            sketch_params: SketchParams,
+                            ref_sketches, db_reader, model, index,
+                            screen_val) -> Optional[List[AniEstResult]]:
+    """Upload-once device-resident `search`: the whole reference DB (or
+    HBM-budget pages of it) is uploaded ONCE as a DeviceDb and stays
+    resident; query batches stream through reserved rows via device-side
+    row scatters (DeviceDb.update_rows), so per-query device traffic is
+    O(query), not O(screened refs).  The TPU-native analog of the
+    reference's markers-resident + mmap-lazy-sketch architecture
+    (reference: src/search.rs:37-95, src/sketch_db.rs:84-123).
+
+    Returns None when ineligible (multi-host, no consolidated DB, no
+    accelerator, or disabled via SKANI_TPU_SEARCH_RESIDENT=0) — the
+    caller then runs the windowed executor path."""
+    if os.environ.get("SKANI_TPU_SEARCH_RESIDENT", "1") != "1":
+        return None
+    from . import multihost
+    if multihost.is_active() or db_reader is None:
+        return None
+    forced = os.environ.get("SKANI_TPU_EXECUTOR")
+    if forced in ("native", "numpy"):
+        return None
+    if forced != "tpu" and not _accelerator_present():
+        return None
+    from .ani import chain_seeds
+    from .kernels.device_pipeline import DevicePairEngine
+
+    n_refs = len(ref_sketches)
+    budget = int(os.environ.get("SKANI_TPU_SEARCH_HBM_MB", "4096")) << 20
+    # page partition by on-disk sketch size (device bytes ~ 1.3-2x the
+    # bincode bytes; the 2x factor leaves pad-to-max headroom)
+    pages: List[List[int]] = []
+    cur: List[int] = []
+    acc = 0
+    for j in range(n_refs):
+        est = 2 * db_reader.index[j][1]
+        if cur and acc + est > budget:
+            pages.append(cur)
+            cur, acc = [], 0
+        cur.append(j)
+        acc += est
+    if cur:
+        pages.append(cur)
+    page_of = {}
+    for pi, page in enumerate(pages):
+        for j in page:
+            page_of[j] = pi
+    log.info(f"Device-resident search: {n_refs} references in "
+             f"{len(pages)} page(s)")
+
+    q_slots = int(os.environ.get("SKANI_TPU_SEARCH_QSLOTS", "64"))
+    threads = command_params.threads
+    current: list = [None, None]    # resident page index, engine
+
+    def load_page(pi: int) -> DevicePairEngine:
+        if current[0] == pi:
+            return current[1]
+        page = pages[pi]
+
+        def one(j):
+            _p, sk = db_reader.get_sketch(j)
+            return sk
+
+        if threads > 1 and len(page) > 3:
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+                refs = list(ex.map(one, page))
+        else:
+            refs = [one(j) for j in page]
+        current[1] = None           # free the previous page's HBM first
+        eng = DevicePairEngine(refs, sketch_params, command_params,
+                               model=model, reserved_slots=q_slots)
+        current[0], current[1] = pi, eng
+        return eng
+
+    anis: List[AniEstResult] = []
+    first_write = True
+    n_done = 0
+
+    def flush(final: bool = False):
+        nonlocal first_write, anis
+        writers.write_query_ref_list(
+            anis, command_params.out_file_name,
+            command_params.max_results, sketch_params.use_aa,
+            command_params.est_ci, command_params.detailed_out,
+            append=not first_write,
+            short_header=command_params.short_header)
+        first_write = False
+        if not final:
+            anis = []
+
+    def run_mega(queries, per_query_refs):
+        """Score one mega-window of queries against every page they hit."""
+        by_page: Dict[int, List] = {}
+        for qi, refs_to_try in enumerate(per_query_refs):
+            for j in refs_to_try:
+                by_page.setdefault(page_of[j], []).append((j, qi))
+        for pi in sorted(by_page):
+            eng = load_page(pi)
+            page = pages[pi]
+            local = {j: s for s, j in enumerate(page)}
+            pair_list = by_page[pi]
+            # queries stream through the reserved rows in chunks
+            by_query: Dict[int, List[int]] = {}
+            for j, qi in pair_list:
+                by_query.setdefault(qi, []).append(j)
+            q_ids = sorted(by_query)
+            for c0 in range(0, len(q_ids), q_slots):
+                chunk = q_ids[c0:c0 + q_slots]
+                slots = [eng.reserved_base + k for k in range(len(chunk))]
+                if eng.load_slots(slots, [queries[qi] for qi in chunk]):
+                    pairs = [(local[j], slot)
+                             for qi, slot in zip(chunk, slots)
+                             for j in by_query[qi]]
+                    results = eng.run_pairs(pairs)
+                else:
+                    # oversized queries: exact host path against the
+                    # already-resident full ref sketches
+                    results = []
+                    for qi in chunk:
+                        q = queries[qi]
+                        for j in by_query[qi]:
+                            ref = eng.sketches[local[j]]
+                            mp = map_params_from_sketch(
+                                ref, sketch_params.use_aa, command_params,
+                                model)
+                            results.append(chain_seeds(ref, q, mp))
+                anis.extend(r for r in results if r.ani > 0.5)
+
+    queries: List[Sketch] = []
+    per_query_refs: List[List[int]] = []
+    for q in _iter_query_sketches(command_params, sketch_params):
+        if index is None:
+            refs_to_try = [j for j, r in enumerate(ref_sketches)
+                           if screen.check_markers_quickly(
+                               q, r, screen_val, False)]
+        else:
+            refs_to_try = [int(j) for j in screen.screen_refs_indices(
+                screen_val, index, q, sketch_params)]
+        queries.append(q)
+        per_query_refs.append(refs_to_try)
+        n_done += 1
+        if n_done % 100 == 0:
+            log.info(f"{n_done} query sequences processed.")
+        if n_done % INTERMEDIATE_WRITE_COUNT == 0:
+            run_mega(queries, per_query_refs)
+            queries, per_query_refs = [], []
+            flush()
+    run_mega(queries, per_query_refs)
+    flush(final=True)
+    return anis
+
+
 def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     """reference: src/search.rs:16-300"""
     t_start = time.monotonic()
@@ -366,6 +540,13 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     else:
         log.error("No valid sketch database format found in directory")
         raise SystemExit(1)
+
+    res = _search_device_resident(command_params, sketch_params,
+                                  ref_sketches, db_reader, model, index,
+                                  screen_val)
+    if res is not None:
+        log.info(f"Searching time: {time.monotonic() - t_start:.2f}s")
+        return res
 
     kept_refs: Dict[str, Sketch] = {}
 

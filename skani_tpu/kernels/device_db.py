@@ -30,6 +30,7 @@ side instead of two.  `mode` selects what to upload:
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import numpy as np
@@ -78,6 +79,47 @@ def db_has_duplicate_positions(sketches: Sequence) -> bool:
     return False
 
 
+def _pack_genome(s, K: int, P: int, srt: bool):
+    """One genome's padded row pieces at widths (K, P).  Returns a dict of
+    1-D arrays: kmers, starts, counts, pos, ctgc (+ spos, sctgc, skid when
+    srt).  Raises ValueError when the sketch exceeds the padded widths."""
+    nk = len(s.seed_kmers)
+    npos = len(s.seed_pos)
+    if nk > K or npos > P:
+        raise ValueError("sketch exceeds DeviceDb padded widths")
+    out = dict(
+        kmers=np.full(K, KMER_SENTINEL, dtype=np.uint32),
+        starts=np.zeros(K, dtype=np.int32),
+        counts=np.zeros(K, dtype=np.int32),
+        pos=np.zeros(P, dtype=np.int32),
+        ctgc=np.full(P, CTG_SENTINEL * 2, dtype=np.int32),
+        n_kmers=np.int32(nk), n_pos=np.int32(npos),
+    )
+    if srt:
+        out["spos"] = np.zeros(P, dtype=np.int32)
+        out["sctgc"] = np.full(P, CTG_SENTINEL * 2, dtype=np.int32)
+        out["skid"] = np.zeros(P, dtype=np.int32)
+    if nk:
+        out["kmers"][:nk] = s.seed_kmers
+        out["starts"][:nk] = s.seed_starts[:-1]
+        out["counts"][:nk] = np.diff(s.seed_starts)
+        kid = np.repeat(np.arange(nk, dtype=np.int32),
+                        np.diff(s.seed_starts))
+        # CSR with runs sorted by (contig, position) — see module doc
+        order = np.lexsort((s.seed_pos, s.seed_contig, kid))
+        p = s.seed_pos[order].astype(np.int64)
+        c2 = (s.seed_contig[order].astype(np.int32) * 2
+              + s.seed_canon[order].astype(np.int32))
+        out["pos"][:npos] = p
+        out["ctgc"][:npos] = c2
+        if srt:
+            sorder = np.lexsort((p, c2 >> 1))
+            out["spos"][:npos] = p[sorder]
+            out["sctgc"][:npos] = c2[sorder]
+            out["skid"][:npos] = kid[order][sorder]
+    return out
+
+
 class DeviceDb:
     """Padded per-genome sketch tensors on device.
 
@@ -86,12 +128,15 @@ class DeviceDb:
     """
 
     def __init__(self, sketches: Sequence, device=None,
-                 mode: str = "legacy", dense_join_budget: int = 0):
+                 mode: str = "legacy", dense_join_budget: int = 0,
+                 band: int = 0, min_k: int = 0, min_p: int = 0):
         G = len(sketches)
         self.sketches = list(sketches)
         self.mode = mode
-        K = _round_up(max((len(s.seed_kmers) for s in sketches), default=16))
-        P = _round_up(max((len(s.seed_pos) for s in sketches), default=16))
+        K = _round_up(max([min_k] + [len(s.seed_kmers) for s in sketches]
+                          + [16]))
+        P = _round_up(max([min_p] + [len(s.seed_pos) for s in sketches]
+                          + [16]))
         self.max_n_pos = max((len(s.seed_pos) for s in sketches), default=16)
         kmers = np.full((G, K), KMER_SENTINEL, dtype=np.uint32)
         starts = np.zeros((G, K), dtype=np.int32)
@@ -110,27 +155,18 @@ class DeviceDb:
         n_kmers = np.zeros(G, dtype=np.int32)
         n_pos = np.zeros(G, dtype=np.int32)
         for g, s in enumerate(sketches):
-            nk = len(s.seed_kmers)
-            npos = len(s.seed_pos)
-            kmers[g, :nk] = s.seed_kmers
-            starts[g, :nk] = s.seed_starts[:-1]
-            counts[g, :nk] = np.diff(s.seed_starts)
-            kid = np.repeat(np.arange(nk, dtype=np.int32),
-                            np.diff(s.seed_starts))
-            # CSR with runs sorted by (contig, position) — see module doc
-            order = np.lexsort((s.seed_pos, s.seed_contig, kid))
-            p = s.seed_pos[order].astype(np.int64)
-            c2 = (s.seed_contig[order].astype(np.int32) * 2
-                  + s.seed_canon[order].astype(np.int32))
-            pos[g, :npos] = p
-            ctgc[g, :npos] = c2
+            rowd = _pack_genome(s, K, P, srt)
+            kmers[g] = rowd["kmers"]
+            starts[g] = rowd["starts"]
+            counts[g] = rowd["counts"]
+            pos[g] = rowd["pos"]
+            ctgc[g] = rowd["ctgc"]
             if srt:
-                sorder = np.lexsort((p, c2 >> 1))
-                spos[g, :npos] = p[sorder]
-                sctgc[g, :npos] = c2[sorder]
-                skid[g, :npos] = kid[order][sorder]
-            n_kmers[g] = nk
-            n_pos[g] = npos
+                spos[g] = rowd["spos"]
+                sctgc[g] = rowd["sctgc"]
+                skid[g] = rowd["skid"]
+            n_kmers[g] = rowd["n_kmers"]
+            n_pos[g] = rowd["n_pos"]
         self.K, self.P, self.G = K, P, G
         dev = device or jax.devices()[0]
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
@@ -169,6 +205,17 @@ class DeviceDb:
                     and G * U * 4 <= dense_join_budget and P < (1 << 17):
                 gid = np.full((G, K), -1, dtype=np.int32)
                 dense_cs = np.zeros((G, U), dtype=np.int32)
+                # POSITION-AXIS global ids (the faster join): gidp[g, p] is
+                # the union rank of the kmer owning sorted-position slot p,
+                # or -1 when the slot is padding OR the kmer's own count
+                # exceeds the repeat band (the query-side a_cnt <= band
+                # test, reference: src/chain.rs:674-676, baked in at build
+                # time).  phase_a's per-pair join is then ONE row gather of
+                # the ref's dense (cnt | start) table directly on the
+                # position axis — the kmer-axis join pass and the
+                # kmer->position jw gather both disappear.
+                self.band = band
+                gidp = np.full((G, P), -1, dtype=np.int32)
                 for g, s in enumerate(sketches):
                     nk = len(s.seed_kmers)
                     if not nk:
@@ -178,11 +225,21 @@ class DeviceDb:
                     cnts = np.minimum(np.diff(s.seed_starts), 4095)
                     dense_cs[g, r] = (cnts.astype(np.int32) << 17) \
                         | starts[g, :nk]
+                    if band > 0:
+                        npos = len(s.seed_pos)
+                        kid_p = np.asarray(skid[g, :npos])
+                        gp = r[kid_p]
+                        gp[np.asarray(np.diff(s.seed_starts))[kid_p]
+                           > band] = -1
+                        gidp[g, :npos] = gp
                 self.U = U
                 self.gid = put(gid)
                 self.dense_cs = put(dense_cs)
                 self.arrays["gid"] = self.gid
                 self.arrays["dense_cs"] = self.dense_cs
+                if band > 0:
+                    self.gidp = put(gidp)
+                    self.arrays["gidp"] = self.gidp
         elif mode == "sorted":
             self.pos = put(pos)
             self.ctgc = put(ctgc)
@@ -200,3 +257,55 @@ class DeviceDb:
             self.arrays = dict(kmers=self.kmers, starts=self.starts,
                                counts=self.counts, pos=self.pos,
                                ctgc=self.ctgc)
+
+    def update_rows(self, slots: Sequence, sketches: Sequence) -> None:
+        """Replace genome rows IN PLACE via a device-side scatter — only
+        the new rows cross the host link, so swapping Q query genomes
+        into a resident N-genome DB costs O(Q), not O(N).  This is what
+        makes upload-once `search` possible (the TPU-native analog of the
+        reference's mmap lazy loads, reference: src/sketch_db.rs:84-123).
+
+        Raises ValueError when a sketch exceeds the padded widths or when
+        the DB carries dense-join tables (their DB-wide kmer-union axis
+        cannot be updated incrementally; build with dense_join_budget=0
+        for updatable DBs)."""
+        if "gid" in self.arrays or "gidp" in self.arrays:
+            raise ValueError("dense-join DeviceDb rows are not updatable")
+        srt = self.mode in ("sorted", "sorted_packed")
+        rows = [_pack_genome(s, self.K, self.P, srt) for s in sketches]
+
+        def stack(name):
+            return np.stack([r[name] for r in rows])
+
+        upd = dict(kmers=stack("kmers"), starts=stack("starts"),
+                   counts=stack("counts"))
+        if self.mode == "sorted_packed":
+            upd["apk"] = (stack("sctgc") << PACK_POS_BITS) | stack("spos")
+            upd["bpk"] = (stack("ctgc") << PACK_POS_BITS) | stack("pos")
+            upd["skid"] = stack("skid")
+            upd["n_pos"] = np.stack([r["n_pos"] for r in rows])
+        elif self.mode == "sorted":
+            for name in ("pos", "ctgc", "spos", "sctgc", "skid"):
+                upd[name] = stack(name)
+            upd["n_pos"] = np.stack([r["n_pos"] for r in rows])
+        else:
+            upd["pos"] = stack("pos")
+            upd["ctgc"] = stack("ctgc")
+        idx = jnp.asarray(np.asarray(slots, dtype=np.int32))
+        for name, v in upd.items():
+            arr = self.arrays[name]
+            new = _scatter_rows(arr, idx, jnp.asarray(v).astype(arr.dtype))
+            self.arrays[name] = new
+            if hasattr(self, name):
+                setattr(self, name, new)
+        for g, s in zip(slots, sketches):
+            self.sketches[g] = s
+        self.max_n_pos = max(
+            [self.max_n_pos] + [len(s.seed_pos) for s in sketches])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(arr, idx, rows):
+    # donation keeps the update in place (no 2x HBM transient); the old
+    # buffer is dead — every caller rebinds self.arrays[name]
+    return arr.at[idx].set(rows)

@@ -89,6 +89,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
+from .expand_pallas import expand_anchors
 from .gather_pallas import mxu_row_gather
 
 I32MAX = np.int32(2 ** 31 - 1)
@@ -160,7 +161,22 @@ def phase_a(db, a_idx, b_idx,
 
     assert band < 4096
 
-    if join_mode == "dense":
+    pos_join = join_mode == "dense_pos"
+    if pos_join:
+        # --- POSITION-AXIS dense join (see device_db.gidp): the per-pair
+        # join is ONE row gather of the ref's dense (cnt << 17 | start)
+        # table at the query's per-position global kmer ids; the kmer-axis
+        # join pass and the kmer->position jw mapping gather are gone.
+        # The query-side repeat test (a_cnt <= band) is baked into gidp
+        # (-1), matching the engine's band check at dispatch.
+        gidp_a = db["gidp"][a_idx]                     # (R, P)
+        csb_p = rg(db["dense_cs"][b_idx], jnp.maximum(gidp_a, 0))
+        okp = (gidp_a >= 0) & (csb_p != 0) & ((csb_p >> 17) <= band)
+        cnt_p = jnp.where(okp, csb_p >> 17, 0)
+        bs_p = jnp.where(okp, csb_p & ((1 << 17) - 1), 0)
+        if stage == 1:   # join only
+            return _chk(okp, cnt_p, bs_p)
+    elif join_mode == "dense":
         # --- GLOBAL-AXIS join (all-pairs posting-list amortization):
         # kmers are pre-ranked on the DB-wide union axis, so the per-pair
         # sorted-merge collapses to ONE row gather of the ref genome's
@@ -197,9 +213,10 @@ def phase_a(db, a_idx, b_idx,
             b_cnt_hit = jnp.where(hit, rg(b_cnt, idx), 0)
             b_start_hit = jnp.where(hit, rg(b_start, idx), 0)
         a_ok = (a_cnt <= band) & a_valid
-    pair_ok = hit & a_ok & (b_cnt_hit <= band)
-    if stage == 1:   # join only
-        return _chk(hit, b_cnt_hit, b_start_hit, pair_ok)
+    if not pos_join:
+        pair_ok = hit & a_ok & (b_cnt_hit <= band)
+        if stage == 1:   # join only
+            return _chk(hit, b_cnt_hit, b_start_hit, pair_ok)
 
     # (the per-pair kept-position rank table that used to be sorted here is
     # now answered host-side — kernels/rank_host.py — as
@@ -209,6 +226,7 @@ def phase_a(db, a_idx, b_idx,
     slots = jnp.arange(A, dtype=jnp.int32)[None, :]
     rowi = jnp.arange(R)[:, None]
 
+    expand_ovf = jnp.zeros((R,), jnp.int32)
     if gen_mode == "legacy":
         # --- anchor expansion in KMER order + 5-key sort ---
         # slot -> kmer assignment: scatter each emitting kmer's id at its
@@ -273,48 +291,68 @@ def phase_a(db, a_idx, b_idx,
         # anchors are ALREADY in the reference's Anchor Ord
         # (types.rs:499-506).  DNA seeds have unique (contig, position), so
         # this order is total; AAI mode uses the legacy path.
-        skid_a = db["skid"][a_idx]                     # (R, P)
-        n_pos_a = db["n_pos"][a_idx][:, None]
+        if not pos_join:
+            skid_a = db["skid"][a_idx]                 # (R, P)
+            n_pos_a = db["n_pos"][a_idx][:, None]
+            pcols_v = jnp.broadcast_to(
+                jnp.arange(P, dtype=jnp.int32)[None, :], (R, P))
+            valid_p = pcols_v < n_pos_a
+            # per-kmer join word -> position domain (one row-local gather);
+            # b_start < 2^19 (engine guards P), count <= band < 2^12
+            jw = jnp.where(pair_ok, (b_start_hit << 12) | b_cnt_hit, 0)
+            jw_p = jnp.where(valid_p, rg(jw, skid_a), 0)
+            cnt_p = jw_p & 0xFFF
+            bs_p = jw_p >> 12
         pcols = jnp.broadcast_to(
             jnp.arange(P, dtype=jnp.int32)[None, :], (R, P))
-        valid_p = pcols < n_pos_a
-        # per-kmer join word -> position domain (one row-local gather);
-        # b_start < 2^19 (engine guards P), count <= band < 2^12
-        jw = jnp.where(pair_ok, (b_start_hit << 12) | b_cnt_hit, 0)
-        jw_p = jnp.where(valid_p, rg(jw, skid_a), 0)
-        cnt_p = jw_p & 0xFFF
         offs_p = jnp.cumsum(cnt_p, axis=1) - cnt_p
         total = offs_p[:, -1] + cnt_p[:, -1]
         anchor_valid = slots < jnp.minimum(total, A)[:, None]
-        # slot -> source position: scatter each emitting position's index
-        # at its first output slot, forward-fill with cummax (measured 2x
-        # cheaper than the equivalent sorted-merge searchsorted at these
-        # shapes); block starts recover the intra-block rank
-        emit = (cnt_p > 0) & (offs_p < A)
-        fw = jnp.full((R, A), -1, jnp.int32).at[
-            rowi, jnp.where(emit, offs_p, A)].max(
-            jnp.where(emit, pcols, -1), mode="drop")
-        g = jnp.clip(jax.lax.cummax(fw, axis=1), 0, P - 1)
-        prev_g = jnp.concatenate(
-            [jnp.full((R, 1), -2, jnp.int32), g[:, :-1]], axis=1)
-        block_start = jax.lax.cummax(
-            jnp.where(g != prev_g, slots, 0), axis=1)
-        rank = slots - block_start
-        bs = rg(jw_p >> 12, g)
-        brow = jnp.clip(bs + rank, 0, P - 1)
-        if gen_mode == "sorted_packed":
-            # ONE gather per side: positions pre-packed as ctgc<<24 | pos
-            aw = rg(db["apk"][a_idx], g)
-            bw = rg(db["bpk"][b_idx], brow)
+        if gen_mode == "sorted_packed" and use_pallas \
+                and A % 1024 == 0 and P % 128 == 0 and P >= 2048:
+            # banded Pallas expansion (kernels/expand_pallas.py): the
+            # slot->source fill scatter, its cummaxes, and the two
+            # monotone-index gathers collapse into VMEM-local windowed
+            # one-hot work.  Pairs whose shared seeds are too sparse for
+            # the window (distant pairs) raise expand_ovf and fall back.
+            aw, brow_k, expand_ovf = expand_anchors(
+                offs_p, bs_p, db["apk"][a_idx], total, A)
+            bw = rg(db["bpk"][b_idx], jnp.clip(brow_k, 0, P - 1))
             qp_r = aw & 0xFFFFFF
             qcc = (aw >> 24) & 0xFF
             rp_r = bw & 0xFFFFFF
             rcc = (bw >> 24) & 0xFF
         else:
-            qp_r = rg(db["spos"][a_idx], g)
-            qcc = rg(db["sctgc"][a_idx], g)
-            rp_r = rg(db["pos"][b_idx], brow)
-            rcc = rg(db["ctgc"][b_idx], brow)
+            # slot -> source position: scatter each emitting position's
+            # index at its first output slot, forward-fill with cummax
+            # (measured 2x cheaper than the equivalent sorted-merge
+            # searchsorted at these shapes); block starts recover the
+            # intra-block rank
+            emit = (cnt_p > 0) & (offs_p < A)
+            fw = jnp.full((R, A), -1, jnp.int32).at[
+                rowi, jnp.where(emit, offs_p, A)].max(
+                jnp.where(emit, pcols, -1), mode="drop")
+            g = jnp.clip(jax.lax.cummax(fw, axis=1), 0, P - 1)
+            prev_g = jnp.concatenate(
+                [jnp.full((R, 1), -2, jnp.int32), g[:, :-1]], axis=1)
+            block_start = jax.lax.cummax(
+                jnp.where(g != prev_g, slots, 0), axis=1)
+            rank = slots - block_start
+            bs = rg(bs_p, g)
+            brow = jnp.clip(bs + rank, 0, P - 1)
+            if gen_mode == "sorted_packed":
+                # ONE gather per side: positions pre-packed ctgc<<24 | pos
+                aw = rg(db["apk"][a_idx], g)
+                bw = rg(db["bpk"][b_idx], brow)
+                qp_r = aw & 0xFFFFFF
+                qcc = (aw >> 24) & 0xFF
+                rp_r = bw & 0xFFFFFF
+                rcc = (bw >> 24) & 0xFF
+            else:
+                qp_r = rg(db["spos"][a_idx], g)
+                qcc = rg(db["sctgc"][a_idx], g)
+                rp_r = rg(db["pos"][b_idx], brow)
+                rcc = rg(db["ctgc"][b_idx], brow)
         qp = jnp.where(anchor_valid, qp_r, I32MAX)
         rp = jnp.where(anchor_valid, rp_r, I32MAX)
         qc = jnp.where(anchor_valid, qcc >> 1, I32MAX)
@@ -402,7 +440,7 @@ def phase_a(db, a_idx, b_idx,
         & (col_in_chunk < L_CAP)
     overflow = (total > A) | (n_chunks > C_CAP) \
         | jnp.any(anchor_valid & ~ok_place, axis=1) \
-        | seg_overflow | qu_overflow
+        | seg_overflow | qu_overflow | (expand_ovf > 0)
     RC = R * C_CAP
     flat_row = (rowi * C_CAP + jnp.clip(cid, 0, C_CAP - 1)).reshape(-1)
     flat_col = jnp.clip(col_in_chunk, 0, L_CAP - 1).reshape(-1)
@@ -579,8 +617,30 @@ class DevicePairEngine:
     def __init__(self, sketches: Sequence, sketch_params, command_params,
                  model=None, batch: int = None,
                  i_cap: int = 1024, c_cap: int = 512, l_cap: int = None,
-                 device=None):
+                 device=None, reserved_slots: int = 0,
+                 min_k: int = 0, min_p: int = 0):
         from .device_db import db_has_duplicate_positions, db_pack_ok
+
+        # Reserved slots: trailing DB rows whose contents are swapped at
+        # runtime (load_slots) — queries stream through them while the
+        # reference rows stay resident (upload-once `search`).  Reserved
+        # DBs use the merge join (the dense global-kmer axis cannot be
+        # updated incrementally).
+        self.reserved_base = len(sketches)
+        self.reserved_slots = reserved_slots
+        if reserved_slots:
+            from ..sketch import Sketch
+            empties = []
+            for _ in range(reserved_slots):
+                e = Sketch(file_name="", marker_c=getattr(
+                    sketch_params, "marker_c", 1000),
+                    c=getattr(sketch_params, "c", 125),
+                    k=getattr(sketch_params, "k", 15))
+                empties.append(e)
+            sketches = list(sketches) + empties
+            self._forced_merge = True
+        else:
+            self._forced_merge = False
 
         if batch is None:
             # larger batches amortize the per-dispatch sync floor (~29 ms
@@ -606,11 +666,23 @@ class DevicePairEngine:
             self.gen_mode = "sorted_packed"
         else:
             self.gen_mode = "sorted"
-        dense_budget = int(os.environ.get("SKANI_TPU_DENSE_JOIN_MB",
-                                          "512")) << 20
+        dense_budget = 0 if self._forced_merge else int(os.environ.get(
+            "SKANI_TPU_DENSE_JOIN_MB", "512")) << 20
+        db_band = 0
+        if self.gen_mode == "sorted_packed" and len(self.sketches):
+            from ..params import map_params_from_sketch
+            db_band = map_params_from_sketch(
+                self.sketches[0], getattr(sketch_params, "use_aa", False),
+                command_params, None).index_chain_band
         self.db = DeviceDb(self.sketches, device=device, mode=self.gen_mode,
-                           dense_join_budget=dense_budget)
-        self.join_mode = "dense" if "gid" in self.db.arrays else "merge"
+                           dense_join_budget=dense_budget, band=db_band,
+                           min_k=min_k, min_p=min_p)
+        if "gidp" in self.db.arrays:
+            self.join_mode = "dense_pos"
+        elif "gid" in self.db.arrays:
+            self.join_mode = "dense"
+        else:
+            self.join_mode = "merge"
         self.sketch_params = sketch_params
         self.command_params = command_params
         self.model = model
@@ -682,6 +754,27 @@ class DevicePairEngine:
         return iv, chunk_hi, chunk_ctg, chunk_new, n_chunks, n_anchors, \
             overflow
 
+    def load_slots(self, slots: Sequence[int], sketches: Sequence) -> bool:
+        """Swap new genomes into reserved DB rows (device-side scatter;
+        only the new rows cross the link).  Returns False when a sketch
+        does not fit the DB's padded widths or breaks the generation-mode
+        invariants — the caller then scores those pairs through the exact
+        host path instead."""
+        from .device_db import db_has_duplicate_positions, db_pack_ok
+        if self.gen_mode != "legacy":
+            if any(len(s.seed_pos) >= (1 << 19) for s in sketches) \
+                    or db_has_duplicate_positions(sketches):
+                return False
+            if self.gen_mode == "sorted_packed" and not db_pack_ok(sketches):
+                return False
+        try:
+            self.db.update_rows(slots, sketches)
+        except ValueError:
+            return False
+        for g, s in zip(slots, sketches):
+            self.sketches[g] = s
+        return True
+
     def _bucket_a(self, ri: int, qi: int) -> int:
         """Anchor-buffer size for one pair: the smallest power-of-two
         bucket covering ~1.15x the larger seed-position count, so small
@@ -711,6 +804,10 @@ class DevicePairEngine:
             b_idx[w] = item[2]
         dev = self.device or jax.devices()[0]
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
+        jm = self.join_mode
+        if jm == "dense_pos" \
+                and mp0.index_chain_band != getattr(self.db, "band", -1):
+            jm = "dense"   # gidp was baked for a different repeat band
         return phase_a(
             self.db.arrays,
             put(a_idx), put(b_idx),
@@ -721,7 +818,7 @@ class DevicePairEngine:
             max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
             min_anchors=mp0.min_anchors, min_score=mp0.min_score,
             use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode,
-            join_mode=self.join_mode)
+            join_mode=jm)
 
     def _host_process(self, group, packed):
         """Per-batch host stage: unpack, overlap-resolve, answer the seed-

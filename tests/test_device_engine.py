@@ -135,8 +135,14 @@ def test_dense_join_matches_merge_join():
     try:
         eng_d = DevicePairEngine(sk, sp, cp, batch=4, i_cap=128, c_cap=64,
                                  l_cap=512)
-        assert eng_d.join_mode == "dense"
+        assert eng_d.join_mode == "dense_pos"
         res_d = eng_d.run_pairs(pairs, host_workers=0)
+        # global-KMER-axis dense join (the dense_pos fallback when the
+        # repeat band differs from the baked gidp band)
+        eng_k = DevicePairEngine(sk, sp, cp, batch=4, i_cap=128, c_cap=64,
+                                 l_cap=512)
+        eng_k.join_mode = "dense"
+        res_k = eng_k.run_pairs(pairs, host_workers=0)
         os.environ["SKANI_TPU_DENSE_JOIN_MB"] = "0"
         eng_m = DevicePairEngine(sk, sp, cp, batch=4, i_cap=128, c_cap=64,
                                  l_cap=512)
@@ -146,10 +152,10 @@ def test_dense_join_matches_merge_join():
         os.environ.pop("SKANI_TPU_DENSE_JOIN_MB", None)
         if old is not None:
             os.environ["SKANI_TPU_DENSE_JOIN_MB"] = old
-    for (i, j), a, b in zip(pairs, res_d, res_m):
+    for (i, j), a, b, c in zip(pairs, res_d, res_m, res_k):
         native = chain_seeds_native(
             sk[i], sk[j], map_params_from_sketch(sk[i], False, cp, None))
-        for r in (a, b):
+        for r in (a, b, c):
             assert (np.isnan(r.ani) and np.isnan(native.ani)) \
                 or (r.ani == native.ani
                     and r.ci_lower == native.ci_lower), (i, j)

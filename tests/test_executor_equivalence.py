@@ -41,13 +41,15 @@ def _write_mutants(dirname, n=6):
     return paths
 
 
-def _run(args, executor, cwd):
+def _run(args, executor, cwd, extra_env=None):
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
     env.pop("PALLAS_AXON_POOL_IPS", None)
     if executor:
         env["SKANI_TPU_EXECUTOR"] = executor
     else:
         env.pop("SKANI_TPU_EXECUTOR", None)
+    if extra_env:
+        env.update(extra_env)
     r = subprocess.run([sys.executable, "-m", "skani_tpu"] + args,
                        capture_output=True, text=True, env=env, cwd=cwd,
                        timeout=1200)
@@ -96,6 +98,39 @@ def test_search_executor_equivalence(genomes, tmp_path):
     _run(args + ["-o", out_n], None, d)
     _run(args + ["-o", out_t], "tpu", d)
     _diff(out_n, out_t)
+
+
+def test_search_device_resident_paged(genomes, tmp_path):
+    """The upload-once resident search must produce byte-identical output
+    when the DB is forced into many HBM pages and queries rotate through
+    a tiny reserved-slot window — page iteration and slot reuse are pure
+    scheduling."""
+    d, paths = genomes
+    db = str(tmp_path / "db")
+    _run(["sketch"] + paths + ["-o", db], None, d)
+    out_n = str(tmp_path / "n.tsv")
+    out_p = str(tmp_path / "p.tsv")
+    args = ["search", "-d", db, "-q"] + paths[:3]
+    _run(args + ["-o", out_n], None, d)
+    _run(args + ["-o", out_p], "tpu", d,
+         extra_env={"SKANI_TPU_SEARCH_HBM_MB": "1",
+                    "SKANI_TPU_SEARCH_QSLOTS": "2"})
+    _diff(out_n, out_p)
+
+
+def test_search_windowed_fallback_equivalence(genomes, tmp_path):
+    """SKANI_TPU_SEARCH_RESIDENT=0 forces the windowed executor path —
+    still byte-identical."""
+    d, paths = genomes
+    db = str(tmp_path / "db")
+    _run(["sketch"] + paths + ["-o", db], None, d)
+    out_n = str(tmp_path / "n.tsv")
+    out_w = str(tmp_path / "w.tsv")
+    args = ["search", "-d", db, "-q"] + paths[:2]
+    _run(args + ["-o", out_n], None, d)
+    _run(args + ["-o", out_w], "tpu", d,
+         extra_env={"SKANI_TPU_SEARCH_RESIDENT": "0"})
+    _diff(out_n, out_w)
 
 
 def test_dist_qi_ri_executor_equivalence(genomes, tmp_path):
