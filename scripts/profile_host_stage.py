@@ -48,7 +48,7 @@ def main():
     group = meta[:eng._r_for(meta[0][7])]
 
     t0 = time.perf_counter()
-    ph = eng._dispatch_phase_a(group, group[0][4])
+    ph, icap, ccap = eng._dispatch_phase_a(group, group[0][4])
     packed = np.asarray(ph)
     print(f"# phase_a + readback (cold): "
           f"{1e3 * (time.perf_counter() - t0):.0f} ms, "
@@ -57,13 +57,13 @@ def main():
 
     def host_py():
         out = [None] * len(pairs)
-        batch_recs, ranks = eng._host_process(group, packed)
+        batch_recs, ranks = eng._host_process(group, packed, icap, ccap)
         eng._finalize_batch(group, batch_recs, ranks, out)
         return out
 
     def host_native():
         out = [None] * len(pairs)
-        if not eng._process_batch_native(group, packed, out):
+        if not eng._process_batch_native(group, packed, out, icap, ccap):
             raise RuntimeError("native finalize unavailable")
         return out
 

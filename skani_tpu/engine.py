@@ -345,10 +345,14 @@ def _iter_query_sketches(command_params: CommandParams,
         yield from query_sketches
 
 
+_resident_engines: Dict = {}   # (db identity, page key) -> DevicePairEngine
+
+
 def _search_device_resident(command_params: CommandParams,
                             sketch_params: SketchParams,
                             ref_sketches, db_reader, model, index,
-                            screen_val) -> Optional[List[AniEstResult]]:
+                            screen_val,
+                            folder: str = "") -> Optional[List[AniEstResult]]:
     """Upload-once device-resident `search`: the whole reference DB (or
     HBM-budget pages of it) is uploaded ONCE as a DeviceDb and stays
     resident; query batches stream through reserved rows via device-side
@@ -398,11 +402,22 @@ def _search_device_resident(command_params: CommandParams,
 
     q_slots = int(os.environ.get("SKANI_TPU_SEARCH_QSLOTS", "64"))
     threads = command_params.threads
-    current: list = [None, None]    # resident page index, engine
+    try:
+        db_id = (os.path.realpath(folder),
+                 os.path.getmtime(os.path.join(folder, "sketches.db")))
+    except OSError:
+        db_id = (os.path.realpath(folder), 0.0)
 
     def load_page(pi: int) -> DevicePairEngine:
-        if current[0] == pi:
-            return current[1]
+        """Page engines persist ACROSS search() calls (module cache keyed
+        on the DB file identity): repeat searches against the same DB pay
+        zero re-upload.  Only one page stays resident (HBM budget)."""
+        key = (db_id, pi, len(pages))
+        eng = _resident_engines.get(key)
+        if eng is not None:
+            eng.command_params = command_params
+            eng.model = model
+            return eng
         page = pages[pi]
 
         def one(j):
@@ -415,10 +430,10 @@ def _search_device_resident(command_params: CommandParams,
                 refs = list(ex.map(one, page))
         else:
             refs = [one(j) for j in page]
-        current[1] = None           # free the previous page's HBM first
+        _resident_engines.clear()   # free the previous page's HBM first
         eng = DevicePairEngine(refs, sketch_params, command_params,
                                model=model, reserved_slots=q_slots)
-        current[0], current[1] = pi, eng
+        _resident_engines[key] = eng
         return eng
 
     anis: List[AniEstResult] = []
@@ -543,7 +558,7 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
 
     res = _search_device_resident(command_params, sketch_params,
                                   ref_sketches, db_reader, model, index,
-                                  screen_val)
+                                  screen_val, folder=folder)
     if res is not None:
         log.info(f"Searching time: {time.monotonic() - t_start:.2f}s")
         return res

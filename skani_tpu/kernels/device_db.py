@@ -39,6 +39,10 @@ import jax
 import jax.numpy as jnp
 
 KMER_SENTINEL = np.uint32(0xFFFFFFFF)
+# host->device upload accounting (bytes): DB builds + row updates.  The
+# search scale demo reads this to show that per-query traffic is O(query)
+# once the DB is resident.
+UPLOAD_BYTES = [0]
 CTG_SENTINEL = np.int32(0x3FFFFFFF)
 PACK_POS_BITS = 24
 # < 64 contigs so the packed-DP layout rc << 25 | rp keeps cross-contig
@@ -169,7 +173,10 @@ class DeviceDb:
             n_pos[g] = rowd["n_pos"]
         self.K, self.P, self.G = K, P, G
         dev = device or jax.devices()[0]
-        put = lambda x: jax.device_put(jnp.asarray(x), dev)
+
+        def put(x):
+            UPLOAD_BYTES[0] += x.nbytes
+            return jax.device_put(jnp.asarray(x), dev)
         self.kmers = put(kmers)
         self.starts = put(starts)
         self.counts = put(counts)
@@ -296,6 +303,7 @@ class DeviceDb:
             arr = self.arrays[name]
             new = _scatter_rows(arr, idx, jnp.asarray(v).astype(arr.dtype))
             self.arrays[name] = new
+            UPLOAD_BYTES[0] += v.nbytes
             if hasattr(self, name):
                 setattr(self, name, new)
         for g, s in zip(slots, sketches):

@@ -297,24 +297,37 @@ def phase_a(db, a_idx, b_idx,
             pcols_v = jnp.broadcast_to(
                 jnp.arange(P, dtype=jnp.int32)[None, :], (R, P))
             valid_p = pcols_v < n_pos_a
-            # per-kmer join word -> position domain (one row-local gather);
-            # b_start < 2^19 (engine guards P), count <= band < 2^12
-            jw = jnp.where(pair_ok, (b_start_hit << 12) | b_cnt_hit, 0)
-            jw_p = jnp.where(valid_p, rg(jw, skid_a), 0)
-            cnt_p = jw_p & 0xFFF
-            bs_p = jw_p >> 12
+            if P < (1 << 19):
+                # per-kmer join word -> position domain (one row-local
+                # gather); b_start < 2^19, count <= band < 2^12
+                jw = jnp.where(pair_ok, (b_start_hit << 12) | b_cnt_hit, 0)
+                jw_p = jnp.where(valid_p, rg(jw, skid_a), 0)
+                cnt_p = jw_p & 0xFFF
+                bs_p = jw_p >> 12
+            else:
+                # big-genome buckets (> 2^19 seed positions, 60+ Mbp at
+                # c=125): start offsets no longer fit the packed join
+                # word — two separate mapping gathers
+                cnt_w = jnp.where(pair_ok, b_cnt_hit, 0)
+                bs_w = jnp.where(pair_ok, b_start_hit, 0)
+                cnt_p = jnp.where(valid_p, rg(cnt_w, skid_a), 0)
+                bs_p = jnp.where(valid_p, rg(bs_w, skid_a), 0)
         pcols = jnp.broadcast_to(
             jnp.arange(P, dtype=jnp.int32)[None, :], (R, P))
         offs_p = jnp.cumsum(cnt_p, axis=1) - cnt_p
         total = offs_p[:, -1] + cnt_p[:, -1]
         anchor_valid = slots < jnp.minimum(total, A)[:, None]
         if gen_mode == "sorted_packed" and use_pallas \
-                and A % 1024 == 0 and P % 128 == 0 and P >= 2048:
-            # banded Pallas expansion (kernels/expand_pallas.py): the
-            # slot->source fill scatter, its cummaxes, and the two
-            # monotone-index gathers collapse into VMEM-local windowed
-            # one-hot work.  Pairs whose shared seeds are too sparse for
-            # the window (distant pairs) raise expand_ovf and fall back.
+                and A % 1024 == 0 and P % 128 == 0 and P >= 2048 \
+                and os.environ.get("SKANI_TPU_EXPAND_KERNEL") == "1":
+            # EXPERIMENTAL banded Pallas expansion (expand_pallas.py).
+            # Exact on hardware, but measured ~60x slower than theory:
+            # the windowed compare-count formulation does ~2k VPU ops per
+            # anchor slot and Mosaic's degenerate-layout handling of the
+            # (TILE, 1)-shaped intermediates multiplies that further —
+            # the XLA scatter+cummax path below wins at ~5-9 ns/element.
+            # Kept behind an env flag as the measured record of the
+            # experiment (see PERF.md).
             aw, brow_k, expand_ovf = expand_anchors(
                 offs_p, bs_p, db["apk"][a_idx], total, A)
             bw = rg(db["bpk"][b_idx], jnp.clip(brow_k, 0, P - 1))
@@ -514,43 +527,65 @@ def phase_a(db, a_idx, b_idx,
     # overflow the packing fall back to the exact native path instead of
     # silently corrupting best-anchor selection.
     score_lim = min(1 << (31 - INVBITS), 1 << 15)
-    overflow |= jnp.any(valid_c & (dp_c >= score_lim), axis=1)
-    # per-anchor (score, column) key: max -> best score, ties -> smallest col
-    key = (dp_c << INVBITS) | (A - 1 - cols)
+    # the packed (score << INVBITS | col) key needs score < score_lim;
+    # large anchor buffers (big-genome buckets, A >= 2^20) or dense
+    # presets (L_CAP 2048) can exceed it — those shapes use a 3-key sort
+    # with score and column as separate arrays (identical semantics)
+    wide_agg = score_lim <= L_CAP * int(anchor_score)
+    if not wide_agg:
+        overflow |= jnp.any(valid_c & (dp_c >= score_lim), axis=1)
 
-    # --- per-chain aggregation with a 2-key sort (measured cheaper than a
-    # scatter-max at these shapes): sorting anchors by (root asc, key
-    # desc) puts each chain's best (score, smallest-col) key first in its
-    # root group.  The reference's set-size >= min_anchors test
-    # (src/chain.rs:954-976) is IMPLIED: the best path's length
-    # num_anchors <= set size, and good requires num_anchors >=
+    # --- per-chain aggregation with a multi-key sort (measured cheaper
+    # than a scatter-max at these shapes): sorting anchors by (root asc,
+    # score desc, col asc) puts each chain's best (score, smallest-col)
+    # key first in its root group.  The reference's set-size >=
+    # min_anchors test (src/chain.rs:954-976) is IMPLIED: the best path's
+    # length num_anchors <= set size, and good requires num_anchors >=
     # min_anchors, so no size count is kept.
-    s_root, s_nk = jax.lax.sort(
-        (jnp.where(valid_c, root_cid, BIG), -key),
-        dimension=1, num_keys=2)
+    if wide_agg:
+        s_root, s_negs, s_col = jax.lax.sort(
+            (jnp.where(valid_c, root_cid, BIG), -dp_c, cols),
+            dimension=1, num_keys=3)
+        agg_score = -s_negs
+    else:
+        # packed single key halves the sort payloads
+        key = (dp_c << INVBITS) | (A - 1 - cols)
+        s_root, s_nk = jax.lax.sort(
+            (jnp.where(valid_c, root_cid, BIG), -key),
+            dimension=1, num_keys=2)
+        agg_score = (-s_nk) >> INVBITS
     prev_root = jnp.concatenate(
         [jnp.full((R, 1), -1, jnp.int32), s_root[:, :-1]], axis=1)
     first = (s_root != prev_root) & (s_root != BIG)
-    good_pre = first \
-        & (((-s_nk) >> INVBITS).astype(jnp.float32) >= min_score)
+    good_pre = first & (agg_score.astype(jnp.float32) >= min_score)
     # conservative I_CAP check: good_pre is a superset of the final good
     # set (the num_anchors filter lands after compaction)
     overflow |= jnp.sum(good_pre, axis=1) > I_CAP
     if stage == 9:   # + chain aggregation sort
         return _chk(good_pre, s_root)
 
-    # --- compact the good roots (2-array sort: root column + best key),
-    # then fetch every other per-chain field with tiny (R, I_CAP) gathers
-    # at the root columns
-    rcols, g_nk = jax.lax.sort(
-        (jnp.where(good_pre, s_root, BIG), s_nk), dimension=1, num_keys=1)
-    rcols = rcols[:, :I_CAP]
-    g_best = -g_nk[:, :I_CAP]
+    # --- compact the good roots (sort on the root column with the best
+    # key as payload), then fetch every other per-chain field with tiny
+    # (R, I_CAP) gathers at the root columns
+    if wide_agg:
+        rcols, g_negs, g_col = jax.lax.sort(
+            (jnp.where(good_pre, s_root, BIG), s_negs, s_col),
+            dimension=1, num_keys=1)
+        rcols = rcols[:, :I_CAP]
+        g_score = -g_negs[:, :I_CAP]
+        bcl = jnp.clip(g_col[:, :I_CAP], 0, A - 1)
+    else:
+        rcols, g_nk = jax.lax.sort(
+            (jnp.where(good_pre, s_root, BIG), s_nk),
+            dimension=1, num_keys=1)
+        rcols = rcols[:, :I_CAP]
+        g_best = -g_nk[:, :I_CAP]
+        g_score = g_best >> INVBITS
+        bcl = jnp.clip((A - 1) - (g_best & ((1 << INVBITS) - 1)), 0, A - 1)
     if stage == 10:  # + root compaction sort
-        return _chk(rcols, g_best)
+        return _chk(rcols, g_score)
     has = rcols != BIG
     rcl = jnp.minimum(rcols, A - 1)
-    bcl = jnp.clip((A - 1) - (g_best & ((1 << INVBITS) - 1)), 0, A - 1)
     num_anchors = _row_gather(dep_c, bcl) + 1
     good = has & (num_anchors >= min_anchors)
     if gen_mode == "sorted_packed":
@@ -563,7 +598,6 @@ def phase_a(db, a_idx, b_idx,
     g_rp0 = _row_gather(rp, rcl)
     g_qp1 = _row_gather(qp, bcl)
     g_rp1 = _row_gather(rp, bcl)
-    g_score = g_best >> INVBITS
     if stage == 11:  # + per-chain field gathers
         return _chk(g_qp0, g_rp0, g_qp1, g_rp1, num_anchors, good)
     scalars = jnp.stack([n_chunks,
@@ -616,7 +650,7 @@ class DevicePairEngine:
 
     def __init__(self, sketches: Sequence, sketch_params, command_params,
                  model=None, batch: int = None,
-                 i_cap: int = 1024, c_cap: int = 512, l_cap: int = None,
+                 i_cap: int = None, c_cap: int = 512, l_cap: int = None,
                  device=None, reserved_slots: int = 0,
                  min_k: int = 0, min_p: int = 0):
         from .device_db import db_has_duplicate_positions, db_pack_ok
@@ -657,9 +691,7 @@ class DevicePairEngine:
         # (contig, position) order (not AAI) and b_start < 2^19 for the
         # join-word packing; the packed variant additionally needs
         # positions < 2^24 and < 128 contigs
-        max_pos_count = max((len(s.seed_pos) for s in sketches), default=0)
         if getattr(sketch_params, "use_aa", False) \
-                or max_pos_count >= (1 << 19) \
                 or db_has_duplicate_positions(sketches):
             self.gen_mode = "legacy"
         elif db_pack_ok(sketches):
@@ -694,7 +726,12 @@ class DevicePairEngine:
         # large buckets shrink (see _r_for) so the padded (R, A) domain
         # stays bounded instead of the pairs falling back to the host
         a = int(1.15 * self.db.max_n_pos)
-        self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 19)
+        self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 20)
+        if i_cap is None:
+            # E. coli-scale pairs produce ~420 intervals; 512 halves the
+            # packed readback vs 1024 and pairs with more chains fall
+            # back to the exact path via the good_pre > I_CAP overflow
+            i_cap = int(os.environ.get("SKANI_TPU_ICAP", "512"))
         self.I_CAP = i_cap
         self.C_CAP = c_cap
         if l_cap is None:
@@ -713,11 +750,12 @@ class DevicePairEngine:
                     1024 if need <= 1024 else 2048)
         self.L_CAP = l_cap
 
-    def _unpack(self, packed: np.ndarray):
+    def _unpack(self, packed: np.ndarray, I: int = None, C: int = None):
         """Split the packed i32 output into fields (layout depends on the
         generation mode — sorted_packed transfers 6 interval words + one
         chunk-metadata word instead of 10 + 3)."""
-        I, C = self.I_CAP, self.C_CAP
+        I = self.I_CAP if I is None else I
+        C = self.C_CAP if C is None else C
         iv = {}
         if self.gen_mode == "sorted_packed":
             wm1 = packed[:, 0:I]
@@ -775,6 +813,21 @@ class DevicePairEngine:
             self.sketches[g] = s
         return True
 
+    def _caps_for(self, bucket_a: int):
+        """(I_CAP, C_CAP) for one anchor bucket: chunk count scales with
+        genome length (~ bucket * c / 20000, since anchors ~ positions ~
+        len/c), so big-genome buckets (eukaryote MAGs) get wider chunk and
+        interval buffers instead of falling back to the host.  Small
+        buckets keep the engine defaults so the compiled shape set stays
+        tiny."""
+        c0 = max(int(getattr(self.sketches[0], "c", 125) or 125), 1) \
+            if self.sketches else 125
+        est = int(1.3 * bucket_a * c0 / 20000) + 2
+        cc = self.C_CAP
+        while cc < est and cc < 8192:
+            cc *= 2
+        return max(self.I_CAP, cc), cc
+
     def _bucket_a(self, ri: int, qi: int) -> int:
         """Anchor-buffer size for one pair: the smallest power-of-two
         bucket covering ~1.15x the larger seed-position count, so small
@@ -808,10 +861,11 @@ class DevicePairEngine:
         if jm == "dense_pos" \
                 and mp0.index_chain_band != getattr(self.db, "band", -1):
             jm = "dense"   # gidp was baked for a different repeat band
-        return phase_a(
+        icap, ccap = self._caps_for(group[0][7])
+        ph = phase_a(
             self.db.arrays,
             put(a_idx), put(b_idx),
-            A=group[0][7], I_CAP=self.I_CAP, C_CAP=self.C_CAP,
+            A=group[0][7], I_CAP=icap, C_CAP=ccap,
             L_CAP=self.L_CAP,
             band=mp0.index_chain_band, fl=mp0.fragment_length,
             pcl=min(mp0.fragment_length // 2, mp0.bp_chain_band),
@@ -819,15 +873,16 @@ class DevicePairEngine:
             min_anchors=mp0.min_anchors, min_score=mp0.min_score,
             use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode,
             join_mode=jm)
+        return ph, icap, ccap
 
-    def _host_process(self, group, packed):
+    def _host_process(self, group, packed, icap=None, ccap=None):
         """Per-batch host stage: unpack, overlap-resolve, answer the seed-
         rank queries from the host-side tables (kernels/rank_host.py)."""
         from .. import native
         from . import rank_host
 
         (iv_all, chunk_hi, chunk_ctg, chunk_new, n_chunks_v,
-         _n_anchors, overflow) = self._unpack(packed)
+         _n_anchors, overflow) = self._unpack(packed, icap, ccap)
         ranks = []
         batch_recs = []
         for w, (_t, a, b, sw, mp, ri, _qi, _ba) in enumerate(group):
@@ -864,7 +919,8 @@ class DevicePairEngine:
                 np.asarray(qc), np.asarray(qv)))
         return batch_recs, ranks
 
-    def _process_batch_native(self, group, packed, out) -> bool:
+    def _process_batch_native(self, group, packed, out,
+                              icap=None, ccap=None) -> bool:
         """One native call for the whole batch's post-readback work:
         unpack + overlap resolution + rank answering + estimator tail +
         trimmed mean + bootstrap CI (native/skani_core.cpp
@@ -924,7 +980,9 @@ class DevicePairEngine:
         out_i = np.zeros((n, 4), np.int64)
         packed = np.ascontiguousarray(packed, np.int32)
         lib.finalize_device_batch(
-            packed, packed.shape[1], n, self.I_CAP, self.C_CAP, layout,
+            packed, packed.shape[1], n,
+            self.I_CAP if icap is None else icap,
+            self.C_CAP if ccap is None else ccap, layout,
             k_a, c_a, sw_a, am_a, mlc_a, rb_a, md_a, bc_a, fc_a, ql_a,
             rl_a,
             np.ascontiguousarray(addrs[0]), np.ascontiguousarray(lens[0]),
@@ -1115,12 +1173,14 @@ class DevicePairEngine:
 
         def process(entry):
             import time
-            group, ph = entry
+            group, (ph, icap, ccap) = entry
             t0 = time.perf_counter()
             packed = np.asarray(ph)
             t1 = time.perf_counter()
-            if not self._process_batch_native(group, packed, out):
-                batch_recs, ranks = self._host_process(group, packed)
+            if not self._process_batch_native(group, packed, out,
+                                              icap, ccap):
+                batch_recs, ranks = self._host_process(group, packed,
+                                                       icap, ccap)
                 self._finalize_batch(group, batch_recs, ranks, out)
             if timing:
                 import sys

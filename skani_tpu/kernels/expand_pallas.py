@@ -98,7 +98,7 @@ def _kern(total_ref, offs_ref, bs_ref, apk_ref, aw_ref, brow_ref, ovf_ref,
 
     valid = slots[:, 0] < total_ref[r]
     ovf_t = jnp.any(valid & (count[:, 0] >= WBLK * 128))
-    ovf_ref[0, 0] = ovf_t.astype(jnp.int32)
+    ovf_ref[0, 0, 0, :] = jnp.full((128,), ovf_t.astype(jnp.int32))
     cur_ref[0] = cur + (g_local[TILE - 1, 0] >> 7)
 
 
@@ -125,8 +125,9 @@ def expand_anchors(offs, bs_p, apk_a, total, A: int,
         grid=(R, T),
         in_specs=[in3, in3, in3],
         out_specs=(outw, outw,
-                   pl.BlockSpec((1, 1), lambda r, t, total: (r, t),
-                                memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((1, 1, 1, 128),
+                                lambda r, t, total: (r, t, 0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
     )
     aw, brow, ovf = pl.pallas_call(
@@ -136,12 +137,12 @@ def expand_anchors(offs, bs_p, apk_a, total, A: int,
                                         jnp.int32),
                    jax.ShapeDtypeStruct((R, T, TILE // 128, 128),
                                         jnp.int32),
-                   jax.ShapeDtypeStruct((R, T), jnp.int32)),
+                   jax.ShapeDtypeStruct((R, T, 1, 128), jnp.int32)),
         interpret=interpret,
     )(total, offs.reshape(shape3), bs_p.reshape(shape3),
       apk_a.reshape(shape3))
     return (aw.reshape(R, A), brow.reshape(R, A),
-            jnp.max(ovf, axis=1))
+            jnp.max(ovf.reshape(R, -1), axis=1))
 
 
 def expand_anchors_reference(offs, bs_p, apk_a, total, A: int):

@@ -88,9 +88,7 @@ def _mm_hash64_pair(key):
 
 # --- the device kernel -----------------------------------------------------
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "c", "marker_c", "CAP"))
-def _seed_device(enc, n_real, k: int, c: int, marker_c: int, CAP: int):
+def _seed_core(enc, n_real, k: int, c: int, marker_c: int, CAP: int):
     """enc: (Lp,) uint8 = 2-bit code | (is_n << 2); n_real: real length.
 
     Returns (count, kmers u32, pos u32, canon u32, keep_m u32,
@@ -157,6 +155,24 @@ def _seed_device(enc, n_real, k: int, c: int, marker_c: int, CAP: int):
             sl(mhi_s), sl(mlo_s))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k", "c", "marker_c", "CAP"))
+def _seed_device(enc, n_real, k: int, c: int, marker_c: int, CAP: int):
+    return _seed_core(enc, n_real, k, c, marker_c, CAP)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "c", "marker_c", "CAP"))
+def _seed_device_batch(enc, n_real, k: int, c: int, marker_c: int,
+                       CAP: int):
+    """Batched form: enc (B, Lp), n_real (B,) — one dispatch seeds B
+    same-bucket contigs (the bulk-`sketch` path; amortizes dispatch and
+    link round trips across a whole file set)."""
+    return jax.vmap(
+        functools.partial(_seed_core, k=k, c=c, marker_c=marker_c,
+                          CAP=CAP))(enc, n_real)
+
+
 # --- host wrapper (drop-in seeder) ------------------------------------------
 
 _ENC_N = None
@@ -178,6 +194,59 @@ def _bucket(L: int) -> int:
     while b < L:
         b <<= 1
     return b
+
+
+def fmh_seeds_tpu_batch(seqs, params: SketchParams):
+    """Seed MANY contigs in bucketed device batches (one dispatch per
+    (bucket, chunk)); same per-contig outputs as fmh_seeds_tpu.
+
+    The bulk analog of the reference's rayon-parallel per-file seeding
+    (reference: src/file_io.rs:147-149): on a locally attached TPU the
+    batch amortizes dispatch/sync cost across the whole file set; on a
+    slow tunnel the link-speed probe keeps the native kernel instead."""
+    k, c = params.k, params.c
+    if k > 16:
+        raise ValueError("Value of k > 16 for DNA; not allowed.")
+    empty = (np.zeros(0, np.uint32), np.zeros(0, np.uint32),
+             np.zeros(0, bool), np.zeros(0, np.uint64))
+    out = [empty] * len(seqs)
+    groups = {}
+    for i, s in enumerate(seqs):
+        if len(s) >= 2 * _MK:
+            groups.setdefault(_bucket(len(s)), []).append(i)
+    # bound device memory per dispatch (~64M encoded bases)
+    for Lp, idxs in sorted(groups.items()):
+        max_b = max(1, (64 << 20) // Lp)
+        nw = Lp - _MK + 1
+        CAP = int(min(nw, 8 * nw // c + 1024))
+        for c0 in range(0, len(idxs), max_b):
+            chunk = idxs[c0:c0 + max_b]
+            B = len(chunk)
+            enc = np.zeros((B, Lp), dtype=np.uint8)
+            n_real = np.zeros(B, dtype=np.int32)
+            for b, i in enumerate(chunk):
+                s = np.asarray(seqs[i], dtype=np.uint8)
+                enc[b, :len(s)] = _encode(s)
+                n_real[b] = len(s)
+            res = _seed_device_batch(jnp.asarray(enc),
+                                     jnp.asarray(n_real), k=k, c=c,
+                                     marker_c=params.marker_c, CAP=CAP)
+            counts = np.asarray(res[0])
+            arrs = [np.asarray(x) for x in res[1:]]
+            for b, i in enumerate(chunk):
+                n = int(counts[b])
+                if n > CAP:   # extraordinarily repetitive: exact fallback
+                    from ..sketch import fmh_seeds_np
+                    out[i] = fmh_seeds_np(seqs[i], params)
+                    continue
+                kmer, pos, canon, keep_m, mhi, mlo = (a[b, :n]
+                                                      for a in arrs)
+                markers = ((mhi.astype(np.uint64) << np.uint64(32))
+                           | mlo.astype(np.uint64))[keep_m.astype(bool)]
+                out[i] = (kmer.astype(np.uint32),
+                          (pos + (_MK - 1)).astype(np.uint32),
+                          canon.astype(bool), markers)
+    return out
 
 
 def fmh_seeds_tpu(seq: np.ndarray, params: SketchParams):

@@ -148,13 +148,27 @@ class ShardedPairFleet:
 
     def run_pairs(self, pairs):
         """pairs: (ref_global, query_global) index pairs; returns results in
-        input order."""
+        input order.
+
+        Assignment: a pair runs on the device owning its REF shard — the
+        only device with that ref's seeds.  When refs and queries are the
+        SAME genomes (triangle), every genome is also replicated as a
+        query on every device, so pairs round-robin freely instead: this
+        removes the triangle-ownership imbalance (ref 0 appears in n-1
+        i<j pairs, the last ref in none) that the scaling probe exposed."""
         import concurrent.futures as cf
 
+        same = (len(self.refs) == len(self.queries)
+                and all(a is b for a, b in zip(self.refs, self.queries)))
         per_dev = [[] for _ in range(self.n_dev)]
         for t, (rg, qg) in enumerate(pairs):
-            d, lr = self.owner[rg]
-            per_dev[d].append((t, lr, self.n_local_refs[d] + qg))
+            if same:
+                d = t % self.n_dev
+                per_dev[d].append((t, self.n_local_refs[d] + rg,
+                                   self.n_local_refs[d] + qg))
+            else:
+                d, lr = self.owner[rg]
+                per_dev[d].append((t, lr, self.n_local_refs[d] + qg))
         out = [None] * len(pairs)
 
         def run(d):

@@ -315,12 +315,95 @@ def sketch_file_individual(path: str, params: SketchParams, seed: bool = True,
     return out
 
 
+def _sketch_files_device_batch(paths: List[str], params: SketchParams,
+                               seed: bool, warn) -> List[Sketch]:
+    """Whole-file-set sketching through the BATCHED device seeder
+    (kernels/seeding_tpu.fmh_seeds_tpu_batch): contigs from a window of
+    files go to the device in bucketed batches, so dispatch and link
+    round trips amortize across the set — the device analog of the
+    reference's rayon-parallel file loop (reference: src/file_io.rs:147-149).
+    Identical outputs to the per-contig path."""
+    from .kernels.seeding_tpu import fmh_seeds_tpu_batch
+
+    out: List[Optional[Sketch]] = [None] * len(paths)
+    window: list = []      # (path idx, sk, [(j, seq), ...]) per valid file
+    window_bases = 0
+
+    def flush():
+        nonlocal window, window_bases
+        if not window:
+            return
+        seqs = []
+        refs = []          # (window slot, contig idx)
+        for w, (_pi, _sk, contigs) in enumerate(window):
+            for j, s in contigs:
+                refs.append((w, j))
+                seqs.append(s)
+        results = fmh_seeds_tpu_batch(seqs, params)
+        parts = [([], [], [], [], []) for _ in window]
+        for (w, j), (km, po, ca, ma) in zip(refs, results):
+            pp = parts[w]
+            if seed and len(km):
+                pp[0].append(km)
+                pp[1].append(po)
+                pp[2].append(ca)
+                pp[3].append(np.full(len(km), j, dtype=np.uint32))
+            if len(ma):
+                pp[4].append(ma)
+        for (pi, sk, _contigs), pp in zip(window, parts):
+            _finalize_sketch(sk, pp[0], pp[1], pp[2], pp[3], pp[4])
+            out[pi] = sk
+        window, window_bases = [], 0
+
+    for pi, p in enumerate(paths):
+        sk = Sketch(file_name=p, marker_c=params.c, c=params.c, k=params.k,
+                    amino_acid=params.use_aa)
+        contigs = []
+        j = 0
+        try:
+            for name, seq in fastx.iter_fastx(p):
+                if len(seq) >= MIN_LENGTH_CONTIG:
+                    sk.contigs.append(name)
+                    sk.contig_lengths = np.append(
+                        sk.contig_lengths, np.uint32(len(seq)))
+                    sk.total_sequence_length += len(seq)
+                    contigs.append((j, seq))
+                    j += 1
+        except fastx.InvalidFastxError:
+            continue
+        if j == 0:
+            continue
+        window.append((pi, sk, contigs))
+        window_bases += sk.total_sequence_length
+        if window_bases >= (256 << 20):
+            flush()
+    flush()
+    res = []
+    for p, sk in zip(paths, out):
+        if sk is None:
+            if warn:
+                warn(f"{p} is not a valid fasta/fastq file or has only "
+                     f"contigs < {MIN_LENGTH_CONTIG} bp; skipping.")
+            continue
+        res.append(sk)
+    res.sort(key=Sketch.sort_key)
+    return res
+
+
 def fastx_to_sketches(paths: List[str], params: SketchParams,
                       seed: bool = True, seeder=None,
                       warn=None, threads: int = 1) -> List[Sketch]:
     """reference: src/file_io.rs:141-252 (rayon-parallel over files, then
     sorted by (file_name, contig_order) for determinism).  The native C++
-    seeding kernel releases the GIL, so `threads` scales across cores."""
+    seeding kernel releases the GIL, so `threads` scales across cores.
+    When the device seeder is selected (fast local link or
+    SKANI_TPU_SEEDER=tpu), the whole file set routes through the batched
+    device path instead."""
+    eff = seeder or default_seeder(params)
+    if getattr(eff, "__name__", "") == "fmh_seeds_tpu" \
+            and not params.use_aa:
+        return _sketch_files_device_batch(paths, params, seed, warn)
+    seeder = eff
     if threads > 1 and len(paths) > 1:
         import concurrent.futures as cf
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:

@@ -155,3 +155,89 @@ def test_device_engine_fuzz_many_contigs_sorted_mode():
                     and a.align_fraction_query == b.align_fraction_query
                     and a.ci_lower == b.ci_lower)
     assert bad == 0
+
+
+def _assert_matches_native(sks, cp, pairs, res):
+    bad = 0
+    for (i, j), a in zip(pairs, res):
+        mp = map_params_from_sketch(sks[i], False, cp, None)
+        b = chain_seeds_native(sks[i], sks[j], mp)
+        if np.isnan(a.ani) and np.isnan(b.ani):
+            continue
+        bad += not (a.ani == b.ani
+                    and a.align_fraction_query == b.align_fraction_query
+                    and a.ci_lower == b.ci_lower)
+    assert bad == 0
+
+
+def test_device_engine_big_position_table():
+    """The eukaryote-MAG tier's join layout: genomes whose seed-position
+    tables exceed 2^19 rows no longer fit the packed (b_start << 12 |
+    cnt) join word and must take the split-gather branch (the same
+    branch a real 60+ Mbp genome takes; forced here via min_p so the CPU
+    suite stays fast) — still exact.  Matches the reference's eukaryote
+    tier, reference: tests/tests.rs:82-128."""
+    rng = np.random.default_rng(5)
+    sp = SketchParams()
+    cp = CommandParams()
+    base = BASES[rng.integers(0, 4, size=400000)]
+    sks = []
+    for g in range(3):
+        s = base.copy()
+        nm = int(len(s) * (0.002 + 0.01 * g))
+        p = rng.choice(len(s), size=nm, replace=False)
+        s[p] = BASES[rng.integers(0, 4, size=nm)]
+        sks.append(_mk_sketch([s], sp, f"bp{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=3, i_cap=256, c_cap=64,
+                           l_cap=512, min_p=(1 << 19) + 4096)
+    assert eng.db.P >= (1 << 19)
+    pairs = [(i, j) for i in range(3) for j in range(3) if i != j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    _assert_matches_native(sks, cp, pairs, res)
+
+
+def test_device_engine_wide_aggregation_keys():
+    """Dense presets (L_CAP 2048) overflow the packed (score << INVBITS |
+    col) aggregation key; the wide 3-key sort path must be exact."""
+    rng = np.random.default_rng(13)
+    sp = SketchParams(c=30, marker_c=200)
+    cp = CommandParams()
+    base = BASES[rng.integers(0, 4, size=150000)]
+    sks = []
+    for g in range(3):
+        s = base.copy()
+        nm = int(len(s) * (0.003 + 0.02 * g))
+        p = rng.choice(len(s), size=nm, replace=False)
+        s[p] = BASES[rng.integers(0, 4, size=nm)]
+        sks.append(_mk_sketch([s], sp, f"wa{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=3, i_cap=512, c_cap=32,
+                           l_cap=2048)
+    pairs = [(i, j) for i in range(3) for j in range(3) if i != j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    _assert_matches_native(sks, cp, pairs, res)
+
+
+def test_device_engine_bucket_scaled_caps():
+    """Multi-megabase genomes need more than the default 512 chunk slots;
+    per-bucket C_CAP/I_CAP scaling keeps them on device (exact) instead
+    of overflowing to the host."""
+    rng = np.random.default_rng(41)
+    sp = SketchParams()
+    cp = CommandParams()
+    n = 14_000_000
+    base = BASES[rng.integers(0, 4, size=n)]
+    sks = []
+    for g in range(2):
+        s = base.copy()
+        nm = int(n * (0.002 + 0.01 * g))
+        p = rng.choice(n, size=nm, replace=False)
+        s[p] = BASES[rng.integers(0, 4, size=nm)]
+        sks.append(_mk_sketch([s], sp, f"bc{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=2, i_cap=512, c_cap=512,
+                           l_cap=512)
+    icap, ccap = eng._caps_for(eng._bucket_a(0, 1))
+    assert ccap > 512 and icap >= ccap
+    pairs = [(0, 1), (1, 0)]
+    res = eng.run_pairs(pairs, host_workers=0)
+    assert not np.isnan(res[0].ani)
+    _assert_matches_native(sks, cp, pairs, res)
