@@ -36,7 +36,9 @@ from skani_tpu.sketch import Sketch, default_seeder, _finalize_sketch
 from skani_tpu import fastx
 
 SOURCE = "/root/reference/test_files/e.coli-W.fasta.gz"
-N_GENOMES = int(os.environ.get("BENCH_GENOMES", "14"))
+# 20 genomes -> 190 unique pairs: enough batches for the pipelined
+# steady state to dominate edge effects at production batch sizes
+N_GENOMES = int(os.environ.get("BENCH_GENOMES", "20"))
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 

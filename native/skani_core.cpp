@@ -17,6 +17,7 @@
 #include <cmath>
 #include <ctime>
 #include <limits>
+#include <thread>
 #include <vector>
 
 static inline double now_ms() {
@@ -782,8 +783,9 @@ void bootstrap_ci(const double* anis, const int64_t* weights, int64_t n,
 // covered_ref, ci_lo, ci_hi, std}; out_i per pair: {status (0 ok, 1 empty
 // result, 2 overflow -> caller falls back to the exact per-pair path),
 // avg_chain_int_len, num_chains, total_query_bases}.
-void finalize_device_batch(
-    const int32_t* packed, int64_t row_stride, int64_t n_pairs,
+static void finalize_device_range(
+    const int32_t* packed, int64_t row_stride,
+    int64_t w_begin, int64_t w_end, int64_t n_step,
     int64_t i_cap, int64_t c_cap, int32_t layout,
     const int64_t* k_a, const int64_t* c_a, const uint8_t* switched_a,
     const uint8_t* amino_a, const int64_t* mlc_a,
@@ -795,7 +797,7 @@ void finalize_device_batch(
     const int64_t* ban_addr, const int64_t* ban_len,
     double* out_f, int64_t* out_i) {
     const int64_t I = i_cap, C = c_cap;
-    for (int64_t w = 0; w < n_pairs; w++) {
+    for (int64_t w = w_begin; w < w_end; w += n_step) {
         const int32_t* row = packed + w * row_stride;
         double* of = out_f + w * 6;
         int64_t* oi = out_i + w * 4;
@@ -1020,6 +1022,43 @@ void finalize_device_batch(
         oi[2] = num_chains;
         oi[3] = (int64_t)total_query_bases;
     }
+}
+
+// Public entry: fans the per-pair loop across `n_threads` host threads
+// (the reference's rayon pair loop analog, reference: src/dist.rs:98-143)
+// — pairs are independent (rank tables are read-only, outputs disjoint),
+// strided so heavy and light pairs interleave across threads.  ctypes
+// releases the GIL for the whole call, so Python-side work overlaps too.
+void finalize_device_batch(
+    const int32_t* packed, int64_t row_stride, int64_t n_pairs,
+    int64_t i_cap, int64_t c_cap, int32_t layout,
+    const int64_t* k_a, const int64_t* c_a, const uint8_t* switched_a,
+    const uint8_t* amino_a, const int64_t* mlc_a,
+    const uint8_t* robust_a, const uint8_t* median_a,
+    const double* bothcut_a, const double* fraccut_a,
+    const int64_t* qlen_a, const int64_t* rlen_a,
+    const int64_t* all_addr, const int64_t* all_len,
+    const int64_t* own_addr, const int64_t* own_len,
+    const int64_t* ban_addr, const int64_t* ban_len,
+    double* out_f, int64_t* out_i, int64_t n_threads) {
+    auto run = [&](int64_t begin, int64_t step) {
+        finalize_device_range(packed, row_stride, begin, n_pairs, step,
+                              i_cap, c_cap, layout, k_a, c_a, switched_a,
+                              amino_a, mlc_a, robust_a, median_a,
+                              bothcut_a, fraccut_a, qlen_a, rlen_a,
+                              all_addr, all_len, own_addr, own_len,
+                              ban_addr, ban_len, out_f, out_i);
+    };
+    if (n_threads <= 1 || n_pairs < 4) {
+        run(0, 1);
+        return;
+    }
+    int64_t nt = std::min(n_threads, n_pairs);
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)nt);
+    for (int64_t t = 0; t < nt; t++)
+        threads.emplace_back(run, t, nt);
+    for (auto& th : threads) th.join();
 }
 
 static void fastrand_indices_impl(int64_t n_calls, uint64_t below,

@@ -988,7 +988,9 @@ class DevicePairEngine:
             np.ascontiguousarray(addrs[0]), np.ascontiguousarray(lens[0]),
             np.ascontiguousarray(addrs[1]), np.ascontiguousarray(lens[1]),
             np.ascontiguousarray(addrs[2]), np.ascontiguousarray(lens[2]),
-            out_f.reshape(-1), out_i.reshape(-1))
+            out_f.reshape(-1), out_i.reshape(-1),
+            min(getattr(self.command_params, "threads", 1) or 1,
+                os.cpu_count() or 1))
         del keep
         f32 = np.float32
         fresh, fresh_model = [], None

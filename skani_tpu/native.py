@@ -116,7 +116,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
         i64p, i64p, u8p, u8p, i64p, u8p, u8p, f64p, f64p, i64p, i64p,
         i64p, i64p, i64p, i64p, i64p, i64p,
-        f64p, i64p]
+        f64p, i64p, ctypes.c_int64]
     _lib = lib
     return _lib
 
