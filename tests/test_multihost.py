@@ -33,11 +33,18 @@ fleet = multihost.MultiHostPairFleet(refs, queries, sp, cp, batch=4,
                                      i_cap=128, c_cap=64, l_cap=512)
 pairs = [(rg, qg) for rg in range(len(refs)) for qg in range(len(queries))]
 res = fleet.run_pairs(pairs)
+# Gloo writes its connection log lines straight to fd 1 during collectives,
+# interleaving mid-line with print(); buffer everything and emit with one
+# atomic write after the last collective.
+lines = []
 for (rg, qg), r in zip(pairs, res):
-    print("PAIR", rg, qg, repr(float(np.float32(r.ani))),
-          repr(float(np.float32(r.align_fraction_query))),
-          repr(float(np.float32(r.align_fraction_ref))), flush=True)
-print("WORKER_DONE")
+    lines.append(" ".join(["PAIR", str(rg), str(qg),
+                           repr(float(np.float32(r.ani))),
+                           repr(float(np.float32(r.align_fraction_query))),
+                           repr(float(np.float32(r.align_fraction_ref)))]))
+lines.append("WORKER_DONE")
+import os
+os.write(1, ("\n".join(lines) + "\n").encode())
 """
 
 
