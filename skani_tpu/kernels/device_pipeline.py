@@ -1173,11 +1173,8 @@ class DevicePairEngine:
 
         timing = os.environ.get("SKANI_TPU_TIMING") == "1"
 
-        def process(entry):
+        def finalize(group, packed, icap, ccap, t_read):
             import time
-            group, (ph, icap, ccap) = entry
-            t0 = time.perf_counter()
-            packed = np.asarray(ph)
             t1 = time.perf_counter()
             if not self._process_batch_native(group, packed, out,
                                               icap, ccap):
@@ -1187,9 +1184,16 @@ class DevicePairEngine:
             if timing:
                 import sys
                 sys.stderr.write(
-                    f"# batch n={len(group)} readback {1e3 * (t1 - t0):.1f}"
+                    f"# batch n={len(group)} readback {1e3 * t_read:.1f}"
                     f"ms host+finalize "
                     f"{1e3 * (time.perf_counter() - t1):.1f}ms\n")
+
+        def process(entry):
+            import time
+            group, (ph, icap, ccap) = entry
+            t0 = time.perf_counter()
+            packed = np.asarray(ph)
+            finalize(group, packed, icap, ccap, time.perf_counter() - t0)
 
         workers = []
         if host_workers > 0 and len(meta) > 2 * self.R:
@@ -1201,16 +1205,109 @@ class DevicePairEngine:
                     w.start()
 
         depth = int(os.environ.get("SKANI_TPU_INFLIGHT", "3"))
-        inflight = []
-        while True:
-            group = take_front()
-            if group:
-                inflight.append((group, self._dispatch_phase_a(group,
-                                                               group[0][4])))
-            if (not group and inflight) or len(inflight) >= depth:
-                process(inflight.pop(0))
-            if not group and not inflight:
-                break
+        # Host pipeline modes (SKANI_TPU_READER):
+        #   1 (default) — dispatch and readback stay on the MAIN thread
+        #     (the tunneled axon client wedges when a second thread issues
+        #     jax calls concurrently, measured: a reader-thread np.asarray
+        #     alongside main-thread dispatch deadlocked the pool);
+        #     the CPU-bound finalize (pure C/numpy, no jax) runs on ONE
+        #     worker thread so the ~25 ms native finalize overlaps the
+        #     next batch's network readback.
+        #   2 — full three-stage pipeline with a dedicated reader thread
+        #     doing the readback too (for local-link hosts with a
+        #     thread-safe PJRT client).
+        #   0 — fully serial (the round-2 behavior).
+        mode = os.environ.get("SKANI_TPU_READER", "1")
+        use_threads = mode in ("1", "2") and len(meta) > self.R
+        if use_threads:
+            import queue
+            import time as _time
+            fin_q = queue.Queue(maxsize=depth)
+
+            def finalize_loop():
+                failed = False
+                while True:
+                    item = fin_q.get()
+                    if item is None:
+                        return
+                    if failed:
+                        continue     # drain so the producer never blocks
+                    try:
+                        finalize(*item)
+                    except BaseException as e:
+                        worker_errors.append(e)
+                        failed = True
+
+            fz = threading.Thread(target=finalize_loop)
+            fz.start()
+            if mode == "2":
+                read_q = queue.Queue(maxsize=depth)
+
+                def reader_loop():
+                    failed = False
+                    while True:
+                        entry = read_q.get()
+                        if entry is None:
+                            fin_q.put(None)
+                            return
+                        if failed:
+                            continue   # drain so dispatch never blocks
+                        group, (ph, icap, ccap) = entry
+                        t0 = _time.perf_counter()
+                        try:
+                            packed = np.asarray(ph)
+                        except BaseException as e:
+                            worker_errors.append(e)
+                            failed = True
+                            continue
+                        fin_q.put((group, packed, icap, ccap,
+                                   _time.perf_counter() - t0))
+
+                rd = threading.Thread(target=reader_loop)
+                rd.start()
+                while True:
+                    group = take_front()
+                    if not group:
+                        break
+                    read_q.put((group, self._dispatch_phase_a(
+                        group, group[0][4])))
+                read_q.put(None)
+                rd.join()
+            else:
+                inflight = []
+
+                def read_one():
+                    group, (ph, icap, ccap) = inflight.pop(0)
+                    t0 = _time.perf_counter()
+                    packed = np.asarray(ph)
+                    fin_q.put((group, packed, icap, ccap,
+                               _time.perf_counter() - t0))
+
+                try:
+                    while True:
+                        group = take_front()
+                        if group:
+                            inflight.append((group, self._dispatch_phase_a(
+                                group, group[0][4])))
+                        if (not group and inflight) \
+                                or len(inflight) >= depth:
+                            read_one()
+                        if not group and not inflight:
+                            break
+                finally:
+                    fin_q.put(None)
+            fz.join()
+        else:
+            inflight = []
+            while True:
+                group = take_front()
+                if group:
+                    inflight.append(
+                        (group, self._dispatch_phase_a(group, group[0][4])))
+                if (not group and inflight) or len(inflight) >= depth:
+                    process(inflight.pop(0))
+                if not group and not inflight:
+                    break
         for w in workers:
             w.join()
         if worker_errors:

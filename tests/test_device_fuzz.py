@@ -196,6 +196,39 @@ def test_device_engine_big_position_table():
     _assert_matches_native(sks, cp, pairs, res)
 
 
+def test_device_engine_unpacked_split_gather():
+    """The full eukaryote-MAG tier COMBINATION: unpacked sorted mode
+    (> 64 contigs falls off the packed position word, like a > 16.7 Mbp
+    contig does) AND a > 2^19-row position table (split-gather join
+    branch, forced via min_p so the CPU suite stays fast).  A real 65
+    Mbp single-contig genome takes exactly this configuration —
+    scripts/mag_scale_demo.py runs it at true scale on hardware.
+    Reference tier: tests/tests.rs:82-128."""
+    rng = np.random.default_rng(17)
+    sp = SketchParams(c=70, k=14, marker_c=200)
+    cp = CommandParams()
+    base = BASES[rng.integers(0, 4, size=200000)]
+    sks = []
+    for g in range(3):
+        parts = []
+        for ci in range(80):            # 80 contigs > PACK_MAX_CTGS
+            lo = ci * 2500
+            s = base[lo:lo + 2400].copy()
+            nm = int(len(s) * rng.uniform(0, 0.03))
+            if nm:
+                p = rng.choice(len(s), size=nm, replace=False)
+                s[p] = BASES[rng.integers(0, 4, size=nm)]
+            parts.append(s)
+        sks.append(_mk_sketch(parts, sp, f"us{g}"))
+    eng = DevicePairEngine(sks, sp, cp, batch=3, i_cap=512, c_cap=128,
+                           l_cap=512, min_p=(1 << 19) + 4096)
+    assert eng.gen_mode == "sorted", eng.gen_mode
+    assert eng.db.P >= (1 << 19)
+    pairs = [(i, j) for i in range(3) for j in range(3) if i != j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    _assert_matches_native(sks, cp, pairs, res)
+
+
 def test_device_engine_wide_aggregation_keys():
     """Dense presets (L_CAP 2048) overflow the packed (score << INVBITS |
     col) aggregation key; the wide 3-key sort path must be exact."""
