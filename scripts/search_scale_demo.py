@@ -13,6 +13,9 @@ screening must reject.  Then:
      the mmapped database, reference: src/search.rs:146-166).
 
 Usage: python scripts/search_scale_demo.py [out_dir]
+Env:   BENCH_DB_GENOMES, BENCH_DB_GENOME_LEN (see below), and
+       SKANI_SCALE_PHASE = all (default) | build (synth + DB only, runs
+       fine on a CPU-only host) | search (reuse an existing out_dir DB).
 """
 import os
 import shutil
@@ -59,28 +62,36 @@ def synth_genomes(out_dir: str):
 
 
 def main():
+    phase = os.environ.get("SKANI_SCALE_PHASE", "all")
     work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix="skani_scale_")
     gdir = os.path.join(work, "genomes")
     dbdir = os.path.join(work, "db")
     os.makedirs(gdir, exist_ok=True)
-    if os.path.exists(dbdir):
-        shutil.rmtree(dbdir)
 
-    t0 = time.time()
-    paths = synth_genomes(gdir)
-    print(f"synthesized {N} genomes in {time.time() - t0:.1f}s")
+    if phase in ("all", "build"):
+        if os.path.exists(dbdir):
+            shutil.rmtree(dbdir)
+        t0 = time.time()
+        paths = synth_genomes(gdir)
+        print(f"synthesized {N} genomes in {time.time() - t0:.1f}s")
 
-    sp = SketchParams()
-    cp = CommandParams(mode=Mode.SKETCH, out_file_name=dbdir,
-                       ref_files=paths, threads=os.cpu_count() or 1)
-    t0 = time.time()
-    engine.sketch(cp, sp)
-    dt = time.time() - t0
-    db_bytes = sum(os.path.getsize(os.path.join(dbdir, f))
-                   for f in os.listdir(dbdir))
-    print(f"DB construction: {N} genomes in {dt:.1f}s "
-          f"({N / dt:.1f} genomes/s), {db_bytes / 1e6:.1f} MB on disk")
+        sp = SketchParams()
+        cp = CommandParams(mode=Mode.SKETCH, out_file_name=dbdir,
+                           ref_files=paths, threads=os.cpu_count() or 1)
+        t0 = time.time()
+        engine.sketch(cp, sp)
+        dt = time.time() - t0
+        db_bytes = sum(os.path.getsize(os.path.join(dbdir, f))
+                       for f in os.listdir(dbdir))
+        print(f"DB construction: {N} genomes in {dt:.1f}s "
+              f"({N / dt:.1f} genomes/s), {db_bytes / 1e6:.1f} MB on disk")
+        if phase == "build":
+            print(f"workdir: {work}")
+            return
+    else:
+        paths = sorted(os.path.join(gdir, f) for f in os.listdir(gdir))
+        assert len(paths) == N, (len(paths), N)
 
     from skani_tpu.kernels import device_db
 
