@@ -10,4 +10,4 @@ from .sketch import (Sketch, fastx_to_multiple_sketch_rewrite,
 from .ani import AniEstResult, chain_seeds, calculate_ani
 from .gbdt import get_model, predict_from_ani_res, use_learned_ani
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
