@@ -36,7 +36,10 @@ def test_short_header_truncates():
 def test_triangle_stdout_vs_file_equal(tmp_path):
     """reference: tests/integration_test.rs:570-595"""
     out = str(tmp_path / "m")
-    a = run_cli(["triangle"] + VIRUS_ARGS + ["--full-matrix"])
+    # stdout mode drops a companion skani_matrix.af in the CWD (reference
+    # behavior) — run from tmp_path so the repo root stays clean.
+    a = run_cli(["triangle"] + VIRUS_ARGS + ["--full-matrix"],
+                cwd=str(tmp_path))
     b = run_cli(["triangle"] + VIRUS_ARGS + ["--full-matrix", "-o", out])
     assert a.returncode == 0 and b.returncode == 0
     assert a.stdout.strip() == open(out).read().strip()
