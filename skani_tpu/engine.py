@@ -12,7 +12,7 @@ import os
 import time
 from typing import Dict, List, Optional
 
-from . import db, gbdt, screen, writers
+from . import db, gbdt, screen, stats, writers
 from .ani import AniEstResult, chain_seeds
 from .params import (CommandParams, INTERMEDIATE_WRITE_COUNT,
                      LEARNED_INFO_HELP, SEARCH_AAI_CUTOFF_DEFAULT,
@@ -140,19 +140,22 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
          executor=None) -> List[AniEstResult]:
     """reference: src/dist.rs:12-190"""
     t_start = time.monotonic()
+    stats_base = stats.snapshot()
     executor = executor or get_pair_executor()
-    new_params, ref_sketches = _load_side(
-        command_params.ref_files, command_params.refs_are_sketch,
-        command_params.individual_contig_r, sketch_params,
-        threads=command_params.threads)
+    with stats.timer("sketch_s"):
+        new_params, ref_sketches = _load_side(
+            command_params.ref_files, command_params.refs_are_sketch,
+            command_params.individual_contig_r, sketch_params,
+            threads=command_params.threads)
     if command_params.refs_are_sketch and new_params != sketch_params:
         log.warning("Parameters from .sketch files not equal to the input "
                     "parameters. Using parameters from .sketch files.")
         sketch_params = new_params
-    q_params, query_sketches = _load_side(
-        command_params.query_files, command_params.queries_are_sketch,
-        command_params.individual_contig_q, sketch_params,
-        threads=command_params.threads)
+    with stats.timer("sketch_s"):
+        q_params, query_sketches = _load_side(
+            command_params.query_files, command_params.queries_are_sketch,
+            command_params.individual_contig_q, sketch_params,
+            threads=command_params.threads)
     if command_params.queries_are_sketch and q_params != sketch_params:
         if command_params.refs_are_sketch:
             raise SystemExit("Query sketch parameters were not equal to "
@@ -186,46 +189,52 @@ def dist(command_params: CommandParams, sketch_params: SketchParams,
     # stays flat for huge query x ref workloads (results still flush to
     # disk every INTERMEDIATE_WRITE_COUNT queries, reference: src/dist.rs)
     pair_batch_cap = int(os.environ.get("SKANI_TPU_DIST_BATCH", "50000"))
-    for qj, q in enumerate(query_sketches):
-        if index is None:
-            for ri, r in enumerate(ref_sketches):
-                if screen.check_markers_quickly(
-                        q, r, screen_val, command_params.rescue_small):
-                    pending_pairs.append((ri, qj))
-        else:
-            for ri in screen.screen_refs(screen_val, index, q, sketch_params,
-                                         command_params.rescue_small):
-                pending_pairs.append((int(ri), qj))
-        if len(pending_pairs) >= pair_batch_cap:
+    def run_pending():
+        nonlocal pending_pairs
+        with stats.timer("executor_s"):
             results = executor(ref_sketches, query_sketches, pending_pairs,
                                sketch_params, command_params, model)
-            anis.extend(r for r in results if r.ani > 0.1)
-            pending_pairs = []
+        anis.extend(r for r in results if r.ani > 0.1)
+        pending_pairs = []
+
+    for qj, q in enumerate(query_sketches):
+        with stats.timer("screen_s"):
+            if index is None:
+                for ri, r in enumerate(ref_sketches):
+                    if screen.check_markers_quickly(
+                            q, r, screen_val, command_params.rescue_small):
+                        pending_pairs.append((ri, qj))
+            else:
+                for ri in screen.screen_refs(screen_val, index, q,
+                                             sketch_params,
+                                             command_params.rescue_small):
+                    pending_pairs.append((int(ri), qj))
+        if len(pending_pairs) >= pair_batch_cap:
+            run_pending()
         n_done += 1
         if n_done % 100 == 0:
             log.info(f"{n_done} query sequences processed.")
         if n_done % INTERMEDIATE_WRITE_COUNT == 0:
-            results = executor(ref_sketches, query_sketches, pending_pairs,
-                               sketch_params, command_params, model)
-            anis.extend(r for r in results if r.ani > 0.1)
-            pending_pairs = []
-            writers.write_query_ref_list(
-                anis, command_params.out_file_name,
-                command_params.max_results, sketch_params.use_aa,
-                command_params.est_ci, command_params.detailed_out,
-                append=not first_write,
-                short_header=command_params.short_header)
+            run_pending()
+            with stats.timer("write_s"):
+                writers.write_query_ref_list(
+                    anis, command_params.out_file_name,
+                    command_params.max_results, sketch_params.use_aa,
+                    command_params.est_ci, command_params.detailed_out,
+                    append=not first_write,
+                    short_header=command_params.short_header)
             first_write = False
             anis = []
-    results = executor(ref_sketches, query_sketches, pending_pairs,
-                       sketch_params, command_params, model)
-    anis.extend(r for r in results if r.ani > 0.1)
-    writers.write_query_ref_list(
-        anis, command_params.out_file_name, command_params.max_results,
-        sketch_params.use_aa, command_params.est_ci,
-        command_params.detailed_out, append=not first_write,
-        short_header=command_params.short_header)
+    run_pending()
+    with stats.timer("write_s"):
+        writers.write_query_ref_list(
+            anis, command_params.out_file_name, command_params.max_results,
+            sketch_params.use_aa, command_params.est_ci,
+            command_params.detailed_out, append=not first_write,
+            short_header=command_params.short_header)
     log.info(f"ANI calculation time: {time.monotonic() - t_ani:.2f}s")
+    log.info(stats.driver_report("dist", time.monotonic() - t_start,
+                                 stats_base))
     return anis
 
 
@@ -233,11 +242,13 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
              executor=None) -> Dict[int, Dict[int, AniEstResult]]:
     """reference: src/triangle.rs:13-169"""
     t_start = time.monotonic()
+    stats_base = stats.snapshot()
     executor = executor or get_pair_executor()
-    new_params, ref_sketches = _load_side(
-        command_params.ref_files, command_params.refs_are_sketch,
-        command_params.individual_contig_r, sketch_params,
-        threads=command_params.threads)
+    with stats.timer("sketch_s"):
+        new_params, ref_sketches = _load_side(
+            command_params.ref_files, command_params.refs_are_sketch,
+            command_params.individual_contig_r, sketch_params,
+            threads=command_params.threads)
     if command_params.refs_are_sketch:
         if (new_params.c != sketch_params.c
                 or new_params.marker_c != sketch_params.marker_c):
@@ -279,8 +290,9 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
         nonlocal pending
         if not pending:
             return
-        results = executor(ref_sketches, ref_sketches, pending,
-                           sketch_params, command_params, model)
+        with stats.timer("executor_s"):
+            results = executor(ref_sketches, ref_sketches, pending,
+                               sketch_params, command_params, model)
         for (i, j), r in zip(pending, results):
             if r.ani > 0.1:
                 anis.setdefault(i, {})[j] = r
@@ -288,19 +300,21 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
 
     def flush_sparse():
         nonlocal first_write
-        writers.write_sparse_matrix(
-            anis, ref_sketches, command_params.out_file_name,
-            sketch_params.use_aa, command_params.est_ci,
-            command_params.detailed_out, command_params.diagonal,
-            short_header=command_params.short_header,
-            append=not first_write)
+        with stats.timer("write_s"):
+            writers.write_sparse_matrix(
+                anis, ref_sketches, command_params.out_file_name,
+                sketch_params.use_aa, command_params.est_ci,
+                command_params.detailed_out, command_params.diagonal,
+                short_header=command_params.short_header,
+                append=not first_write)
         first_write = False
         anis.clear()
 
     for i in range(len(ref_sketches) - 1):
-        screened = screen.screen_refs(screen_val, index, ref_sketches[i],
-                                      sketch_params,
-                                      command_params.rescue_small)
+        with stats.timer("screen_s"):
+            screened = screen.screen_refs(screen_val, index,
+                                          ref_sketches[i], sketch_params,
+                                          command_params.rescue_small)
         for j in screened:
             if j > i:
                 pending.append((i, int(j)))
@@ -316,12 +330,15 @@ def triangle(command_params: CommandParams, sketch_params: SketchParams,
     if command_params.sparse:
         flush_sparse()
     else:
-        writers.write_phyllip_matrix(
-            anis, ref_sketches, command_params.out_file_name,
-            command_params.individual_contig_r, command_params.full_matrix,
-            command_params.diagonal, sketch_params.use_aa,
-            command_params.distance)
+        with stats.timer("write_s"):
+            writers.write_phyllip_matrix(
+                anis, ref_sketches, command_params.out_file_name,
+                command_params.individual_contig_r,
+                command_params.full_matrix, command_params.diagonal,
+                sketch_params.use_aa, command_params.distance)
     log.info(f"Triangle time: {time.monotonic() - t_start:.2f}s")
+    log.info(stats.driver_report("triangle", time.monotonic() - t_start,
+                                 stats_base))
     return anis
 
 
@@ -424,12 +441,13 @@ def _search_device_resident(command_params: CommandParams,
             _p, sk = db_reader.get_sketch(j)
             return sk
 
-        if threads > 1 and len(page) > 3:
-            import concurrent.futures as cf
-            with cf.ThreadPoolExecutor(max_workers=threads) as ex:
-                refs = list(ex.map(one, page))
-        else:
-            refs = [one(j) for j in page]
+        with stats.timer("load_s"):
+            if threads > 1 and len(page) > 3:
+                import concurrent.futures as cf
+                with cf.ThreadPoolExecutor(max_workers=threads) as ex:
+                    refs = list(ex.map(one, page))
+            else:
+                refs = [one(j) for j in page]
         _resident_engines.clear()   # free the previous page's HBM first
         eng = DevicePairEngine(refs, sketch_params, command_params,
                                model=model, reserved_slots=q_slots)
@@ -442,12 +460,13 @@ def _search_device_resident(command_params: CommandParams,
 
     def flush(final: bool = False):
         nonlocal first_write, anis
-        writers.write_query_ref_list(
-            anis, command_params.out_file_name,
-            command_params.max_results, sketch_params.use_aa,
-            command_params.est_ci, command_params.detailed_out,
-            append=not first_write,
-            short_header=command_params.short_header)
+        with stats.timer("write_s"):
+            writers.write_query_ref_list(
+                anis, command_params.out_file_name,
+                command_params.max_results, sketch_params.use_aa,
+                command_params.est_ci, command_params.detailed_out,
+                append=not first_write,
+                short_header=command_params.short_header)
         first_write = False
         if not final:
             anis = []
@@ -475,7 +494,8 @@ def _search_device_resident(command_params: CommandParams,
                     pairs = [(local[j], slot)
                              for qi, slot in zip(chunk, slots)
                              for j in by_query[qi]]
-                    results = eng.run_pairs(pairs)
+                    with stats.timer("executor_s"):
+                        results = eng.run_pairs(pairs)
                 else:
                     # oversized queries: exact host path against the
                     # already-resident full ref sketches
@@ -493,13 +513,14 @@ def _search_device_resident(command_params: CommandParams,
     queries: List[Sketch] = []
     per_query_refs: List[List[int]] = []
     for q in _iter_query_sketches(command_params, sketch_params):
-        if index is None:
-            refs_to_try = [j for j, r in enumerate(ref_sketches)
-                           if screen.check_markers_quickly(
-                               q, r, screen_val, False)]
-        else:
-            refs_to_try = [int(j) for j in screen.screen_refs_indices(
-                screen_val, index, q, sketch_params)]
+        with stats.timer("screen_s"):
+            if index is None:
+                refs_to_try = [j for j, r in enumerate(ref_sketches)
+                               if screen.check_markers_quickly(
+                                   q, r, screen_val, False)]
+            else:
+                refs_to_try = [int(j) for j in screen.screen_refs_indices(
+                    screen_val, index, q, sketch_params)]
         queries.append(q)
         per_query_refs.append(refs_to_try)
         n_done += 1
@@ -517,6 +538,7 @@ def _search_device_resident(command_params: CommandParams,
 def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     """reference: src/search.rs:16-300"""
     t_start = time.monotonic()
+    stats_base = stats.snapshot()
     executor = executor or get_pair_executor()
     ref_marker_file = ""
     for f in command_params.ref_files:
@@ -561,6 +583,8 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
                                   screen_val, folder=folder)
     if res is not None:
         log.info(f"Searching time: {time.monotonic() - t_start:.2f}s")
+        log.info(stats.driver_report("search", time.monotonic() - t_start,
+                                     stats_base))
         return res
 
     kept_refs: Dict[str, Sketch] = {}
@@ -639,8 +663,9 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     def run_window():
         nonlocal win_refs, win_slot, win_queries, win_pairs
         if win_pairs:
-            results = executor(win_refs, win_queries, win_pairs,
-                               sketch_params, command_params, model)
+            with stats.timer("executor_s"):
+                results = executor(win_refs, win_queries, win_pairs,
+                                   sketch_params, command_params, model)
             anis.extend(r for r in results if r.ani > 0.5)
         win_refs, win_slot, win_queries, win_pairs = [], {}, [], []
 
@@ -658,17 +683,21 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
             query_sketches = fastx_to_sketches(
                 [query_file], sketch_params, True, warn=log.warning)
         for q in query_sketches:
-            if index is None:
-                refs_to_try = [j for j, r in enumerate(ref_sketches)
-                               if screen.check_markers_quickly(
-                                   q, r, screen_val, False)]
-            else:
-                refs_to_try = [int(j) for j in screen.screen_refs_indices(
-                    screen_val, index, q, sketch_params)]
+            with stats.timer("screen_s"):
+                if index is None:
+                    refs_to_try = [j for j, r in enumerate(ref_sketches)
+                                   if screen.check_markers_quickly(
+                                       q, r, screen_val, False)]
+                else:
+                    refs_to_try = [int(j) for j in
+                                   screen.screen_refs_indices(
+                                       screen_val, index, q, sketch_params)]
             qslot = len(win_queries)
             win_queries.append(q)
-            for j, sk in load_refs([j for j in refs_to_try
-                                    if j not in win_slot]):
+            with stats.timer("load_s"):
+                loaded = load_refs([j for j in refs_to_try
+                                    if j not in win_slot])
+            for j, sk in loaded:
                 win_slot[j] = len(win_refs)
                 win_refs.append(sk)
             win_pairs.extend((win_slot[j], qslot) for j in refs_to_try
@@ -680,24 +709,28 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
                 log.info(f"{n_done} query sequences processed.")
             if n_done % INTERMEDIATE_WRITE_COUNT == 0:
                 run_window()
-                writers.write_query_ref_list(
-                    anis, command_params.out_file_name,
-                    command_params.max_results, sketch_params.use_aa,
-                    command_params.est_ci, command_params.detailed_out,
-                    append=not first_write,
-                    short_header=command_params.short_header)
+                with stats.timer("write_s"):
+                    writers.write_query_ref_list(
+                        anis, command_params.out_file_name,
+                        command_params.max_results, sketch_params.use_aa,
+                        command_params.est_ci, command_params.detailed_out,
+                        append=not first_write,
+                        short_header=command_params.short_header)
                 first_write = False
                 anis = []
     run_window()
     if command_params.keep_refs:
         log.info(f"{len(kept_refs)} references kept in memory for "
                  f"--keep-refs")
-    writers.write_query_ref_list(
-        anis, command_params.out_file_name, command_params.max_results,
-        sketch_params.use_aa, command_params.est_ci,
-        command_params.detailed_out, append=not first_write,
-        short_header=command_params.short_header)
+    with stats.timer("write_s"):
+        writers.write_query_ref_list(
+            anis, command_params.out_file_name, command_params.max_results,
+            sketch_params.use_aa, command_params.est_ci,
+            command_params.detailed_out, append=not first_write,
+            short_header=command_params.short_header)
     log.info(f"Searching time: {time.monotonic() - t_start:.2f}s")
+    log.info(stats.driver_report("search", time.monotonic() - t_start,
+                                 stats_base))
     return anis
 
 

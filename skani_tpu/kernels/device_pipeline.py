@@ -87,6 +87,7 @@ jax.config.update("jax_compilation_cache_dir",
                                  os.path.expanduser("~/.cache/skani_jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from .. import stats
 from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .expand_pallas import expand_anchors
@@ -1167,6 +1168,7 @@ class DevicePairEngine:
                 try:
                     out[t] = chain_seeds_native(self.sketches[ri],
                                                 self.sketches[qi], mp)
+                    stats.add("pairs_host")
                 except BaseException as e:  # surfaced after join
                     worker_errors.append(e)
                     return
@@ -1181,6 +1183,10 @@ class DevicePairEngine:
                 batch_recs, ranks = self._host_process(group, packed,
                                                        icap, ccap)
                 self._finalize_batch(group, batch_recs, ranks, out)
+            stats.add("device_batches")
+            stats.add("pairs_device", len(group))
+            stats.add("readback_s", t_read)
+            stats.add("finalize_s", time.perf_counter() - t1)
             if timing:
                 import sys
                 sys.stderr.write(
@@ -1314,6 +1320,7 @@ class DevicePairEngine:
             raise worker_errors[0]
         for t, src in mirrors:
             out[t] = self._mirror_result(out[src])
+        stats.add("pairs_mirrored", len(mirrors))
         return out
 
     @staticmethod
