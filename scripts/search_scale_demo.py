@@ -120,6 +120,9 @@ def main():
     # shows the steady-state per-query cost the resident design buys
     run_search("cold")
     run_search("warm")
+    import resource
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    print(f"peak RSS: {rss_mb:.0f} MB")
     print(f"workdir: {work}")
 
 
