@@ -74,6 +74,15 @@ def init_from_env() -> bool:
         coordinator_address=coord,
         num_processes=int(os.environ["SKANI_TPU_NUM_PROCS"]),
         process_id=int(os.environ["SKANI_TPU_PROC_ID"]))
+    # Establish the global collective (Gloo/ICI) context NOW, while every
+    # process is still in lockstep from the initialize() barrier.  The
+    # context's key-value rendezvous has a fixed ~30 s deadline, and the
+    # first real collective otherwise only happens after per-process
+    # engine builds + XLA compiles, whose durations skew by minutes on
+    # busy hosts — late arrival then kills the whole fleet with
+    # "Gloo context initialization failed: DEADLINE_EXCEEDED".
+    from jax.experimental import multihost_utils
+    multihost_utils.process_allgather(np.zeros(1, dtype=np.float32))
     global _ACTIVE
     _ACTIVE = True
     return True
