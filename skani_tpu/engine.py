@@ -128,6 +128,16 @@ def get_pair_executor():
     =native forces the host path.
     """
     choice = os.environ.get("SKANI_TPU_EXECUTOR", "auto")
+    from . import multihost
+    if multihost.is_active() and choice in ("native", "numpy"):
+        # forced host executors are unusable under a multi-process
+        # runtime: non-owned refs are marker-only stubs whose seeds live
+        # on the owning process, so local chaining would silently score
+        # against empty sketches — route through the fleet instead
+        log.warning(f"SKANI_TPU_EXECUTOR={choice} ignored under a "
+                    f"multi-process runtime; pairs go through the "
+                    f"cross-process fleet.")
+        choice = "tpu"
     if choice == "tpu":
         from .kernels.pipeline import tpu_pair_executor
         return tpu_pair_executor
@@ -429,7 +439,10 @@ def _search_device_resident(command_params: CommandParams,
         """Page engines persist ACROSS search() calls (module cache keyed
         on the DB file identity): repeat searches against the same DB pay
         zero re-upload.  Only one page stays resident (HBM budget)."""
-        key = (db_id, pi, len(pages))
+        # q_slots is part of the identity: a cached engine reserved fewer
+        # query rows than a later call chunks by would scatter past the
+        # device table (silently dropped) and then index out of range
+        key = (db_id, pi, len(pages), q_slots)
         eng = _resident_engines.get(key)
         if eng is not None:
             eng.command_params = command_params
@@ -510,8 +523,15 @@ def _search_device_resident(command_params: CommandParams,
                             results.append(chain_seeds(ref, q, mp))
                 anis.extend(r for r in results if r.ani > 0.5)
 
+    # queries buffer only until enough screened pairs accumulate to fill
+    # device batches (same bound as the windowed path) — NOT until the
+    # 5000-query write flush: holding thousands of full query sketches
+    # would grow RSS with query-set size where the windowed path stays
+    # flat per window
+    mega_cap = int(os.environ.get("SKANI_TPU_SEARCH_BATCH", "4096"))
     queries: List[Sketch] = []
     per_query_refs: List[List[int]] = []
+    n_pend = 0
     for q in _iter_query_sketches(command_params, sketch_params):
         with stats.timer("screen_s"):
             if index is None:
@@ -523,12 +543,16 @@ def _search_device_resident(command_params: CommandParams,
                     screen_val, index, q, sketch_params)]
         queries.append(q)
         per_query_refs.append(refs_to_try)
+        n_pend += len(refs_to_try)
         n_done += 1
+        if n_pend >= mega_cap:
+            run_mega(queries, per_query_refs)
+            queries, per_query_refs, n_pend = [], [], 0
         if n_done % 100 == 0:
             log.info(f"{n_done} query sequences processed.")
         if n_done % INTERMEDIATE_WRITE_COUNT == 0:
             run_mega(queries, per_query_refs)
-            queries, per_query_refs = [], []
+            queries, per_query_refs, n_pend = [], [], 0
             flush()
     run_mega(queries, per_query_refs)
     flush(final=True)
@@ -669,55 +693,42 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
             anis.extend(r for r in results if r.ani > 0.5)
         win_refs, win_slot, win_queries, win_pairs = [], {}, [], []
 
-    for query_file in command_params.query_files:
-        if command_params.queries_are_sketch:
-            q_params, query_sketches = db.sketches_from_sketch([query_file])
-            if q_params != sketch_params and "markers.bin" not in query_file:
-                log.warning(f"Query sketch parameters for {query_file} not "
-                            f"equal to reference sketch parameters; no ANI "
-                            f"calculated")
-        elif command_params.individual_contig_q:
-            query_sketches = fastx_to_multiple_sketch_rewrite(
-                [query_file], sketch_params, True, warn=log.warning)
-        else:
-            query_sketches = fastx_to_sketches(
-                [query_file], sketch_params, True, warn=log.warning)
-        for q in query_sketches:
-            with stats.timer("screen_s"):
-                if index is None:
-                    refs_to_try = [j for j, r in enumerate(ref_sketches)
-                                   if screen.check_markers_quickly(
-                                       q, r, screen_val, False)]
-                else:
-                    refs_to_try = [int(j) for j in
-                                   screen.screen_refs_indices(
-                                       screen_val, index, q, sketch_params)]
-            qslot = len(win_queries)
-            win_queries.append(q)
-            with stats.timer("load_s"):
-                loaded = load_refs([j for j in refs_to_try
-                                    if j not in win_slot])
-            for j, sk in loaded:
-                win_slot[j] = len(win_refs)
-                win_refs.append(sk)
-            win_pairs.extend((win_slot[j], qslot) for j in refs_to_try
-                             if j in win_slot)
-            if len(win_pairs) >= batch_cap:
-                run_window()
-            n_done += 1
-            if n_done % 100 == 0:
-                log.info(f"{n_done} query sequences processed.")
-            if n_done % INTERMEDIATE_WRITE_COUNT == 0:
-                run_window()
-                with stats.timer("write_s"):
-                    writers.write_query_ref_list(
-                        anis, command_params.out_file_name,
-                        command_params.max_results, sketch_params.use_aa,
-                        command_params.est_ci, command_params.detailed_out,
-                        append=not first_write,
-                        short_header=command_params.short_header)
-                first_write = False
-                anis = []
+    for q in _iter_query_sketches(command_params, sketch_params):
+        with stats.timer("screen_s"):
+            if index is None:
+                refs_to_try = [j for j, r in enumerate(ref_sketches)
+                               if screen.check_markers_quickly(
+                                   q, r, screen_val, False)]
+            else:
+                refs_to_try = [int(j) for j in
+                               screen.screen_refs_indices(
+                                   screen_val, index, q, sketch_params)]
+        qslot = len(win_queries)
+        win_queries.append(q)
+        with stats.timer("load_s"):
+            loaded = load_refs([j for j in refs_to_try
+                                if j not in win_slot])
+        for j, sk in loaded:
+            win_slot[j] = len(win_refs)
+            win_refs.append(sk)
+        win_pairs.extend((win_slot[j], qslot) for j in refs_to_try
+                         if j in win_slot)
+        if len(win_pairs) >= batch_cap:
+            run_window()
+        n_done += 1
+        if n_done % 100 == 0:
+            log.info(f"{n_done} query sequences processed.")
+        if n_done % INTERMEDIATE_WRITE_COUNT == 0:
+            run_window()
+            with stats.timer("write_s"):
+                writers.write_query_ref_list(
+                    anis, command_params.out_file_name,
+                    command_params.max_results, sketch_params.use_aa,
+                    command_params.est_ci, command_params.detailed_out,
+                    append=not first_write,
+                    short_header=command_params.short_header)
+            first_write = False
+            anis = []
     run_window()
     if command_params.keep_refs:
         log.info(f"{len(kept_refs)} references kept in memory for "

@@ -43,8 +43,12 @@ def timer(name: str):
 
 
 def snapshot() -> Dict[str, float]:
+    """Counter snapshot, plus the current phase_a compile-cache size so
+    driver_report can delta it like every other field."""
     with _lock:
-        return dict(_counters)
+        c = dict(_counters)
+    c["phase_a_compiles"] = float(_phase_a_compiles())
+    return c
 
 
 def reset() -> None:
@@ -84,7 +88,7 @@ def driver_report(driver: str, wall_s: float,
              f" host={int(g('pairs_host'))}"
              f" mirrored={int(g('pairs_mirrored'))}]")
     dev = (f"batches={int(g('device_batches'))}"
-           f" compiles={_phase_a_compiles()}"
+           f" compiles={int(g('phase_a_compiles'))}"
            f" readback={g('readback_s'):.2f}s"
            f" finalize={g('finalize_s'):.2f}s")
     return (f"perf[{driver}]: wall={wall_s:.2f}s {phases} {pairs} {dev}")

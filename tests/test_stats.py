@@ -46,4 +46,6 @@ def test_timer_and_reset():
     stats.add("y", 3)
     assert stats.snapshot()["y"] == 5
     stats.reset()
-    assert stats.snapshot() == {}
+    # phase_a_compiles is synthesized at snapshot time (compile-cache
+    # size), so it survives reset; everything else clears
+    assert set(stats.snapshot()) == {"phase_a_compiles"}
