@@ -343,16 +343,33 @@ def phase_a(db, a_idx, b_idx,
             # searchsorted at these shapes); block starts recover the
             # intra-block rank
             emit = (cnt_p > 0) & (offs_p < A)
-            fw = jnp.full((R, A), -1, jnp.int32).at[
-                rowi, jnp.where(emit, offs_p, A)].max(
-                jnp.where(emit, pcols, -1), mode="drop")
-            g = jnp.clip(jax.lax.cummax(fw, axis=1), 0, P - 1)
+            if P <= 65536:
+                # both the position index and its ref-run start fit 16
+                # bits, so ONE packed (p << 16 | bs) fill carries both —
+                # the fill word stays monotone in p, and the separate
+                # (R, A) bs gather (a full random-access pass) is gone
+                pk = ((pcols.astype(jnp.uint32) << 16)
+                      | bs_p.astype(jnp.uint32))
+                fw = jnp.zeros((R, A), jnp.uint32).at[
+                    rowi, jnp.where(emit, offs_p, A)].max(
+                    jnp.where(emit, pk, jnp.uint32(0)), mode="drop")
+                fwm = jax.lax.cummax(fw, axis=1)
+                g = jnp.minimum(fwm >> 16, jnp.uint32(P - 1)
+                                ).astype(jnp.int32)
+                bs = (fwm & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            else:
+                fw = jnp.full((R, A), -1, jnp.int32).at[
+                    rowi, jnp.where(emit, offs_p, A)].max(
+                    jnp.where(emit, pcols, -1), mode="drop")
+                g = jnp.clip(jax.lax.cummax(fw, axis=1), 0, P - 1)
+                bs = None
             prev_g = jnp.concatenate(
                 [jnp.full((R, 1), -2, jnp.int32), g[:, :-1]], axis=1)
             block_start = jax.lax.cummax(
                 jnp.where(g != prev_g, slots, 0), axis=1)
             rank = slots - block_start
-            bs = rg(bs_p, g)
+            if bs is None:
+                bs = rg(bs_p, g)
             brow = jnp.clip(bs + rank, 0, P - 1)
             if gen_mode == "sorted_packed":
                 # ONE gather per side: positions pre-packed ctgc<<24 | pos
