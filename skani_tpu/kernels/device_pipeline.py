@@ -139,13 +139,14 @@ def _chk(*xs):
     jax.jit,
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score",
-                     "use_pallas", "gen_mode", "join_mode", "stage"))
+                     "use_pallas", "gen_mode", "join_mode", "stage",
+                     "fused_regroup"))
 def phase_a(db, a_idx, b_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
             min_score: float, use_pallas: bool = False,
             gen_mode: str = "legacy", join_mode: str = "merge",
-            stage: int = 99):
+            stage: int = 99, fused_regroup: bool = False):
     R = a_idx.shape[0]
     K = db["kmers"].shape[1]
     P = (db["apk"] if gen_mode == "sorted_packed" else db["pos"]).shape[1]
@@ -485,6 +486,18 @@ def phase_a(db, a_idx, b_idx,
         return buf.at[flat_col, flat_row].set(vals.reshape(-1),
                                               mode="drop")[:, :RC]
 
+    def scatter_t_multi(vals_fills):
+        """All regroup payloads in ONE windowed scatter: the index set is
+        identical across payloads, so a trailing window dim amortizes the
+        per-index processing (the same trick lax.sort uses for payloads).
+        A/B knob vs the per-payload scatter_t (fused_regroup)."""
+        n = len(vals_fills)
+        fills = jnp.array([f for _v, f in vals_fills], jnp.int32)
+        buf = jnp.broadcast_to(fills, (L_CAP, RC + 1, n))
+        vals = jnp.stack([v.reshape(-1) for v, _f in vals_fills], axis=-1)
+        out = buf.at[flat_col, flat_row].set(vals, mode="drop")[:, :RC]
+        return [out[..., i] for i in range(n)]
+
     # --- banded chaining DP (reference: src/chain.rs:838-896) ---
     # Pallas kernel on TPU, lax.scan elsewhere; the scan PROPAGATES each
     # anchor's chain root (padded anchor index) and depth through the band
@@ -498,10 +511,13 @@ def phase_a(db, a_idx, b_idx,
     dest_c = dest.reshape(R, A)
     if dp_packed:
         EBITS = _ceil_log2(L_CAP)
-        gqprv = scatter_t(
-            jnp.where(ok_place, qp * 4 + rev * 2 + 1, 0), 0)
-        grprc = scatter_t(
-            jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0), 0)
+        vq = jnp.where(ok_place, qp * 4 + rev * 2 + 1, 0)
+        vr = jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0)
+        if fused_regroup:
+            gqprv, grprc = scatter_t_multi([(vq, 0), (vr, 0)])
+        else:
+            gqprv = scatter_t(vq, 0)
+            grprc = scatter_t(vr, 0)
         if stage == 6:   # + DP regroup scatters
             return _chk(gqprv, grprc)
         ddr = dp_chain_packed(gqprv, grprc, band, pcl, max_gap,
@@ -513,10 +529,15 @@ def phase_a(db, a_idx, b_idx,
         dep_c = (ddr_c >> EBITS) & ((1 << EBITS) - 1)
         root_pad = ddr_c & ((1 << EBITS) - 1)
     else:
-        gqp = scatter_t(qp, I32MAX)
-        grp = scatter_t(rp, I32MAX)
         # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
-        grcv = scatter_t(jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0), 0)
+        vrcv = jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0)
+        if fused_regroup:
+            gqp, grp, grcv = scatter_t_multi(
+                [(qp, int(I32MAX)), (rp, int(I32MAX)), (vrcv, 0)])
+        else:
+            gqp = scatter_t(qp, I32MAX)
+            grp = scatter_t(rp, I32MAX)
+            grcv = scatter_t(vrcv, 0)
         if stage == 6:   # + DP regroup scatters
             return _chk(gqp, grp, grcv)
         dd, root = dp_chain(gqp, grp, grcv, band, pcl, max_gap,
@@ -890,7 +911,9 @@ class DevicePairEngine:
             max_gap=mp0.max_gap_length, anchor_score=mp0.anchor_score,
             min_anchors=mp0.min_anchors, min_score=mp0.min_score,
             use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode,
-            join_mode=jm)
+            join_mode=jm,
+            fused_regroup=os.environ.get(
+                "SKANI_TPU_FUSED_REGROUP", "0") == "1")
         return ph, icap, ccap
 
     def _host_process(self, group, packed, icap=None, ccap=None):
