@@ -56,14 +56,16 @@ def main():
     a_idx = np.arange(eng.R, dtype=np.int32) % n
     b_idx = (np.arange(eng.R, dtype=np.int32) + 1) % n
     put = lambda x: jax.device_put(jnp.asarray(x), dev)
-    args = (eng.db.arrays, put(a_idx), put(b_idx))
+    args = (eng.db.arrays, put(np.stack([a_idx, b_idx])))
     kw = dict(A=eng.A, I_CAP=eng.I_CAP, C_CAP=eng.C_CAP, L_CAP=eng.L_CAP,
               band=mp.index_chain_band, fl=mp.fragment_length,
               pcl=min(mp.fragment_length // 2, mp.bp_chain_band),
               max_gap=mp.max_gap_length, anchor_score=mp.anchor_score,
               min_anchors=mp.min_anchors, min_score=mp.min_score,
               use_pallas=dev.platform == "tpu", gen_mode=eng.gen_mode,
-              join_mode=eng.join_mode)
+              join_mode=eng.join_mode,
+              fused_regroup=os.environ.get(
+                  "SKANI_TPU_FUSED_REGROUP", "0") == "1")
 
     sel = os.environ.get("PROFILE_STAGES")
     stages = ([int(x) for x in sel.split(",")] if sel

@@ -141,12 +141,15 @@ def _chk(*xs):
                      "max_gap", "anchor_score", "min_anchors", "min_score",
                      "use_pallas", "gen_mode", "join_mode", "stage",
                      "fused_regroup"))
-def phase_a(db, a_idx, b_idx,
+def phase_a(db, ab_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
             min_score: float, use_pallas: bool = False,
             gen_mode: str = "legacy", join_mode: str = "merge",
             stage: int = 99, fused_regroup: bool = False):
+    # the pair indices arrive STACKED (2, R) — one host->device transfer
+    # per batch instead of two (each put is a roundtrip on tunneled links)
+    a_idx, b_idx = ab_idx[0], ab_idx[1]
     R = a_idx.shape[0]
     K = db["kmers"].shape[1]
     P = (db["apk"] if gen_mode == "sorted_packed" else db["pos"]).shape[1]
@@ -903,7 +906,7 @@ class DevicePairEngine:
         icap, ccap = self._caps_for(group[0][7])
         ph = phase_a(
             self.db.arrays,
-            put(a_idx), put(b_idx),
+            put(np.stack([a_idx, b_idx])),
             A=group[0][7], I_CAP=icap, C_CAP=ccap,
             L_CAP=self.L_CAP,
             band=mp0.index_chain_band, fl=mp0.fragment_length,
