@@ -790,6 +790,10 @@ class DevicePairEngine:
                 need = int(1.5 * 20000 / min_c)
                 l_cap = 512 if need <= 512 else (
                     1024 if need <= 1024 else 2048)
+            # A/B knob: a tighter per-chunk cap halves the padded DP
+            # domain but raises the exact-fallback rate for deep chunks —
+            # measure both (stats pairs_host counts the fallbacks)
+            l_cap = int(os.environ.get("SKANI_TPU_LCAP", "0")) or l_cap
         self.L_CAP = l_cap
 
     def _unpack(self, packed: np.ndarray, I: int = None, C: int = None):
