@@ -140,13 +140,14 @@ def _chk(*xs):
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score",
                      "use_pallas", "gen_mode", "join_mode", "stage",
-                     "fused_regroup"))
+                     "fused_regroup", "compact_dp"))
 def phase_a(db, ab_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
             min_score: float, use_pallas: bool = False,
             gen_mode: str = "legacy", join_mode: str = "merge",
-            stage: int = 99, fused_regroup: bool = False):
+            stage: int = 99, fused_regroup: bool = False,
+            compact_dp: int = 0):
     # the pair indices arrive STACKED (2, R) — one host->device transfer
     # per batch instead of two (each put is a roundtrip on tunneled links)
     a_idx, b_idx = ab_idx[0], ab_idx[1]
@@ -512,7 +513,35 @@ def phase_a(db, ab_idx,
                  and L_CAP * int(anchor_score) < (1 << (32 - 2 * _ceil_log2(L_CAP))))
     dest = flat_col * RC + jnp.minimum(flat_row, RC - 1)  # compact->padded
     dest_c = dest.reshape(R, A)
-    if dp_packed:
+    from .dp_compact import CID_SHIFT, dp_chain_compact
+    from .dp_pallas import ring_size
+    # compact-stream DP (kernels/dp_compact.py): the regroup scatters,
+    # the padded DP domain, AND the padded->compact extraction gather all
+    # disappear — the DP walks the anchors where the expansion left them.
+    # Static eligibility: packed positions, a band window too short for
+    # mod-32 cid-tag collisions, root/depth field headroom.
+    use_compact = (compact_dp > 0 and gen_mode == "sorted_packed"
+                   and band < 32 and A <= (1 << 20) and L_CAP <= 2047
+                   and (L_CAP * int(anchor_score) + 1) * ring_size(band)
+                   < (1 << 31))
+    valid_c = ok_place
+    if use_compact:
+        w1 = jnp.where(ok_place,
+                       ((cid & 31) << CID_SHIFT) | (qp * 4 + rev * 2 + 1),
+                       0)
+        w2 = jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0)
+        if stage == 6:   # + DP input packing (no regroup in compact mode)
+            return _chk(w1, w2)
+        dp_c, dr_c = dp_chain_compact(
+            w1, w2, col_in_chunk, band, pcl, max_gap, anchor_score,
+            L_CAP, interpret=(compact_dp == 2))
+        if stage == 7:   # + chaining DP
+            return _chk(dp_c, dr_c)
+        dep_c = dr_c >> 20
+        root_cid = dr_c & ((1 << 20) - 1)
+        if stage == 8:   # (no extraction gather in compact mode)
+            return _chk(dp_c, root_cid)
+    elif dp_packed:
         EBITS = _ceil_log2(L_CAP)
         vq = jnp.where(ok_place, qp * 4 + rev * 2 + 1, 0)
         vr = jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0)
@@ -531,6 +560,13 @@ def phase_a(db, ab_idx,
         dp_c = (ddr_c >> (2 * EBITS)) & ((1 << (32 - 2 * EBITS)) - 1)
         dep_c = (ddr_c >> EBITS) & ((1 << EBITS) - 1)
         root_pad = ddr_c & ((1 << EBITS) - 1)
+        # a chunk's anchors occupy CONSECUTIVE compact columns (the anchor
+        # sort orders by (contig, position) and chunk ids are
+        # nondecreasing), so the root's compact column is elementwise
+        # arithmetic — no lookup table:
+        root_cid = cols - col_in_chunk + root_pad
+        if stage == 8:   # + extraction gathers (padded -> compact)
+            return _chk(dp_c, root_cid)
     else:
         # contig ids are small (< 2^28 checked host-side): pack rc/rev/valid
         vrcv = jnp.where(ok_place, rc * 4 + rev * 2 + 1, 0)
@@ -553,14 +589,9 @@ def phase_a(db, ab_idx,
         root_pad = root.reshape(-1)[dest_c.reshape(-1)].reshape(R, A)
         dp_c = dd_c >> DBITS
         dep_c = dd_c & ((1 << DBITS) - 1)
-
-    # a chunk's anchors occupy CONSECUTIVE compact columns (the anchor sort
-    # orders by (contig, position) and chunk ids are nondecreasing), so the
-    # root's compact column is elementwise arithmetic — no lookup table:
-    valid_c = ok_place
-    root_cid = cols - col_in_chunk + root_pad
-    if stage == 8:   # + extraction gathers (padded -> compact)
-        return _chk(dp_c, root_cid)
+        root_cid = cols - col_in_chunk + root_pad
+        if stage == 8:   # + extraction gathers (padded -> compact)
+            return _chk(dp_c, root_cid)
 
     INVBITS = _ceil_log2(A)
     # packing headroom: `key` needs score < 2^(31-INVBITS), `packed_sn`
@@ -920,8 +951,21 @@ class DevicePairEngine:
             use_pallas=dev.platform == "tpu", gen_mode=self.gen_mode,
             join_mode=jm,
             fused_regroup=os.environ.get(
-                "SKANI_TPU_FUSED_REGROUP", "0") == "1")
+                "SKANI_TPU_FUSED_REGROUP", "0") == "1",
+            compact_dp=self._compact_dp(dev))
         return ph, icap, ccap
+
+    @staticmethod
+    def _compact_dp(dev) -> int:
+        """Compact-stream DP mode (kernels/dp_compact.py): 1 = Pallas
+        kernel (TPU only), 2 = interpret mode (CPU exactness tests),
+        0 = padded layout.  SKANI_TPU_COMPACT_DP overrides."""
+        v = os.environ.get("SKANI_TPU_COMPACT_DP", "0")
+        if v == "2":
+            return 2
+        if v == "1" and dev.platform == "tpu":
+            return 1
+        return 0
 
     def _host_process(self, group, packed, icap=None, ccap=None):
         """Per-batch host stage: unpack, overlap-resolve, answer the seed-
