@@ -26,15 +26,18 @@ for s in $STEPS; do case $s in
 import jax, numpy as np, jax.numpy as jnp
 print(jax.devices()); assert np.asarray(jnp.arange(4)+1)[3] == 4" \
         || { echo 'pool unclaimable; aborting runlist'; exit 1; } ;;
-1)  # stage profile + fused-regroup A/B (decide the default from these)
+1)  # stage profile + regroup-variant A/Bs (decide defaults from these)
     run profile_base 7200 python scripts/profile_phase_a.py 3
     SKANI_TPU_FUSED_REGROUP=1 \
-        run profile_fused 7200 python scripts/profile_phase_a.py 3 ;;
+        run profile_fused 7200 python scripts/profile_phase_a.py 3
+    SKANI_TPU_COMPACT_DP=1 \
+        run profile_compact 7200 python scripts/profile_phase_a.py 3 ;;
 2)  # bench A/Bs: regroup knob, batch size, chunk cap (watchdog handles hangs)
     run bench_base 7200 python bench.py
     SKANI_TPU_FUSED_REGROUP=1 run bench_fused 7200 python bench.py
     SKANI_TPU_BATCH=64 BENCH_GENOMES=32 run bench_b64 7200 python bench.py
-    SKANI_TPU_LCAP=256 run bench_l256 7200 python bench.py ;;
+    SKANI_TPU_LCAP=256 run bench_l256 7200 python bench.py
+    SKANI_TPU_COMPACT_DP=1 run bench_compact 7200 python bench.py ;;
 3)  # dense-join budget crossover (VERDICT weak #7)
     run dense_crossover 7200 python scripts/dense_join_crossover.py ;;
 4)  # MAG-scale pair on device (VERDICT missing #4)
