@@ -19,7 +19,7 @@ from skani_tpu.kernels.dp_compact import (CID_SHIFT, dp_chain_compact,
                                           seg_len)
 from skani_tpu.kernels.dp_pallas import _dp_scan, dbits, I32MAX
 
-BAND = 20
+BAND = 20       # default-preset band; band=31 is the tag-ambiguity edge
 PCL = 10000
 MAX_GAP = 2000
 SCORE = 50
@@ -60,7 +60,7 @@ def _synth(rng, R, A, l_cap, n_pos=24_000, n_ctg=3):
     return w1, w2, colc, chunks
 
 
-def _padded_reference(w1, w2, chunks, l_cap):
+def _padded_reference(w1, w2, chunks, l_cap, band=BAND):
     """Regroup to (L_CAP, total_chunks) in numpy and run the padded
     (unpacked) scan; map results back to compact order."""
     R, A = w1.shape
@@ -80,7 +80,7 @@ def _padded_reference(w1, w2, chunks, l_cap):
             meta.append((r, start, ln))
             j += 1
     dd, root = _dp_scan(jnp.asarray(qp), jnp.asarray(rp), jnp.asarray(rcv),
-                        BAND, PCL, MAX_GAP, SCORE, unroll=1)
+                        band, PCL, MAX_GAP, SCORE, unroll=1)
     dd = np.asarray(dd)
     root_p = np.asarray(root)
     DBITS = dbits(l_cap)
@@ -94,13 +94,16 @@ def _padded_reference(w1, w2, chunks, l_cap):
     return score, dep, root
 
 
-@pytest.mark.parametrize("seed,R,A,l_cap", [
-    (0, 2, 8192, 512),
-    (1, 3, 8192, 512),
-    (2, 1, 16384, 512),   # multiple segments per row
-    (3, 2, 8192, 257),    # l_cap not a power of two
+@pytest.mark.parametrize("seed,R,A,l_cap,band", [
+    (0, 2, 8192, 512, BAND),
+    (1, 3, 8192, 512, BAND),
+    (2, 1, 16384, 512, BAND),   # multiple segments per row
+    (3, 2, 8192, 257, BAND),    # l_cap not a power of two
+    (4, 2, 8192, 512, 31),      # widest legal band: a window can span 31
+    #                             chunk boundaries (1-anchor cascade runs)
+    #                             — the mod-32 cid tag's ambiguity edge
 ])
-def test_compact_matches_padded_reference(seed, R, A, l_cap):
+def test_compact_matches_padded_reference(seed, R, A, l_cap, band):
     rng = np.random.default_rng(seed)
     w1, w2, colc, chunks = _synth(rng, R, A, l_cap)
     # sanity: the synth must produce at least one boundary-crossing chunk
@@ -111,12 +114,12 @@ def test_compact_matches_padded_reference(seed, R, A, l_cap):
         assert crossing
     score_c, dr_c = dp_chain_compact(
         jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(colc),
-        BAND, PCL, MAX_GAP, SCORE, l_cap, interpret=True)
+        band, PCL, MAX_GAP, SCORE, l_cap, interpret=True)
     score_c = np.asarray(score_c)
     dep_c = np.asarray(dr_c) >> 20
     root_c = np.asarray(dr_c) & ((1 << 20) - 1)
 
-    score_e, dep_e, root_e = _padded_reference(w1, w2, chunks, l_cap)
+    score_e, dep_e, root_e = _padded_reference(w1, w2, chunks, l_cap, band)
     valid = (w1 & 1) == 1
     np.testing.assert_array_equal(score_c[valid], score_e[valid])
     np.testing.assert_array_equal(dep_c[valid], dep_e[valid])
@@ -172,5 +175,37 @@ def test_engine_fuzz_compact_interpret(tmp_path):
                 assert g.ani == want.ani, (i, j, g.ani, want.ani)
                 assert g.align_fraction_query == want.align_fraction_query
                 assert g.align_fraction_ref == want.align_fraction_ref
+    finally:
+        os.environ.pop("SKANI_TPU_COMPACT_DP", None)
+
+
+def test_engine_fuzz_compact_multi_contig():
+    """Compact DP (interpret) on multi-contig, repeat-heavy genomes —
+    contig transitions and cascade chunking stress the cid-tag path."""
+    import test_device_fuzz as fz
+
+    os.environ["SKANI_TPU_COMPACT_DP"] = "2"
+    try:
+        from skani_tpu import CommandParams, SketchParams, stats
+        from skani_tpu.kernels.device_pipeline import DevicePairEngine
+
+        rng = np.random.default_rng(17)
+        sp = SketchParams(c=200, k=15, marker_c=200)
+        cp = CommandParams()
+        base = fz.BASES[rng.integers(0, 4, size=120000)]
+        sks = []
+        for g in range(4):
+            parts = fz._rand_genome(rng, 120000, int(rng.integers(2, 6)),
+                                    repeat=(g == 3),
+                                    src=base if g < 3 else None)
+            sks.append(fz._mk_sketch(parts, sp, f"cmp{g}"))
+        eng = DevicePairEngine(sks, sp, cp, batch=4, i_cap=256, c_cap=64,
+                               l_cap=512)
+        assert eng.gen_mode == "sorted_packed"
+        pairs = [(i, j) for i in range(4) for j in range(4) if i != j]
+        before = stats.snapshot().get("compact_dp_traces", 0)
+        res = eng.run_pairs(pairs, host_workers=0)
+        assert stats.snapshot().get("compact_dp_traces", 0) > before
+        fz._assert_matches_native(sks, cp, pairs, res)
     finally:
         os.environ.pop("SKANI_TPU_COMPACT_DP", None)
