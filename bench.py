@@ -181,7 +181,7 @@ def main():
         f"device-only {dev_s:.2f}s ({dev_rate:.1f}/s); "
         f"single-thread-reference {base_s:.2f}s ({base_rate:.1f}/s); "
         f"mismatches {mism}\n")
-    print(json.dumps({
+    out = {
         "metric": "unique genome-pairs/s (triangle all-vs-all, "
                   "E.coli-scale)",
         "value": round(best_rate, 2),
@@ -190,7 +190,12 @@ def main():
         "device_only": round(dev_rate, 2),
         "device_only_vs_baseline": round(dev_rate / base_rate, 3),
         "mismatches": mism,
-    }))
+    }
+    if not device_up:
+        # the accelerator pool never came up (warm timed out): this run
+        # measured the native CPU fallback only, not the device engine
+        out["device_unavailable"] = True
+    print(json.dumps(out))
     if not device_up:
         # a wedged axon client can hang interpreter shutdown (atexit
         # backend sync); the JSON is out, exit hard

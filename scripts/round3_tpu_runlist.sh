@@ -37,7 +37,9 @@ print(jax.devices()); assert np.asarray(jnp.arange(4)+1)[3] == 4" \
     SKANI_TPU_FUSED_REGROUP=1 run bench_fused 7200 python bench.py
     SKANI_TPU_BATCH=64 BENCH_GENOMES=32 run bench_b64 7200 python bench.py
     SKANI_TPU_LCAP=256 run bench_l256 7200 python bench.py
-    SKANI_TPU_COMPACT_DP=1 run bench_compact 7200 python bench.py ;;
+    SKANI_TPU_COMPACT_DP=1 run bench_compact 7200 python bench.py
+    SKANI_TPU_COMPACT_DP=1 SKANI_TPU_INFLIGHT=6 \
+        run bench_compact_deep 7200 python bench.py ;;
 3)  # dense-join budget crossover (VERDICT weak #7)
     run dense_crossover 7200 python scripts/dense_join_crossover.py ;;
 4)  # MAG-scale pair on device (VERDICT missing #4)
