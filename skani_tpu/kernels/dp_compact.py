@@ -80,9 +80,10 @@ def _kernel(w1_ref, w2_ref, score_ref, dr_ref,
     slotw[:] = jnp.full_like(slotw, -(1 << 29))
 
     # global compact column of each lane's first scanned anchor
-    lane_g = pl.program_id(0) * LB + jax.lax.iota(jnp.int32, LB)
+    # (2-D iota: 1-D iota does not lower on Mosaic)
+    lane_g = pl.program_id(0) * LB \
+        + jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
     base_col = (lane_g // R) * S          # lane = seg * R + row
-    base_col = base_col.reshape(1, LB)
 
     def step(t, _):
         w1_i = w1_ref[pl.ds(t, 1), :]       # (1, LB)
