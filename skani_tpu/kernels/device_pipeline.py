@@ -140,14 +140,14 @@ def _chk(*xs):
     static_argnames=("A", "I_CAP", "C_CAP", "L_CAP", "band", "fl", "pcl",
                      "max_gap", "anchor_score", "min_anchors", "min_score",
                      "use_pallas", "gen_mode", "join_mode", "stage",
-                     "fused_regroup", "compact_dp"))
+                     "fused_regroup", "compact_dp", "compact_wide"))
 def phase_a(db, ab_idx,
             A: int, I_CAP: int, C_CAP: int, L_CAP: int, band: int, fl: int,
             pcl: int, max_gap: float, anchor_score: float, min_anchors: int,
             min_score: float, use_pallas: bool = False,
             gen_mode: str = "legacy", join_mode: str = "merge",
             stage: int = 99, fused_regroup: bool = False,
-            compact_dp: int = 0):
+            compact_dp: int = 0, compact_wide: bool = False):
     # the pair indices arrive STACKED (2, R) — one host->device transfer
     # per batch instead of two (each put is a roundtrip on tunneled links)
     a_idx, b_idx = ab_idx[0], ab_idx[1]
@@ -513,28 +513,44 @@ def phase_a(db, ab_idx,
                  and L_CAP * int(anchor_score) < (1 << (32 - 2 * _ceil_log2(L_CAP))))
     dest = flat_col * RC + jnp.minimum(flat_row, RC - 1)  # compact->padded
     dest_c = dest.reshape(R, A)
-    from .dp_compact import CID_SHIFT, dp_chain_compact
+    from .dp_compact import (CID_SHIFT, dp_chain_compact,
+                             dp_chain_compact_wide)
     from .dp_pallas import ring_size
     # compact-stream DP (kernels/dp_compact.py): the regroup scatters,
     # the padded DP domain, AND the padded->compact extraction gather all
     # disappear — the DP walks the anchors where the expansion left them.
-    # Static eligibility: packed positions, a band window too short for
-    # mod-32 cid-tag collisions, root/depth field headroom.
-    use_compact = (compact_dp > 0 and gen_mode == "sorted_packed"
-                   and band < 32 and A <= (1 << 20) and L_CAP <= 2047
-                   and (L_CAP * int(anchor_score) + 1) * ring_size(band)
-                   < (1 << 31))
+    # Static eligibility: a band window too short for mod-32 cid-tag
+    # collisions, root/depth field headroom; packed modes carry the tag
+    # in w1, the wide (big-genome / many-contig) tier in a third plane
+    # (positions > 24 bits, host-verified bounds via compact_wide).
+    compact_common = (compact_dp > 0 and band < 32 and A <= (1 << 20)
+                      and L_CAP <= 2047
+                      and (L_CAP * int(anchor_score) + 1) * ring_size(band)
+                      < (1 << 31))
+    use_compact = compact_common and gen_mode == "sorted_packed"
+    use_compact_w = (compact_common and gen_mode == "sorted"
+                     and compact_wide)
     valid_c = ok_place
-    if use_compact:
-        w1 = jnp.where(ok_place,
-                       ((cid & 31) << CID_SHIFT) | (qp * 4 + rev * 2 + 1),
-                       0)
-        w2 = jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0)
-        if stage == 6:   # + DP input packing (no regroup in compact mode)
-            return _chk(w1, w2)
-        dp_c, dr_c = dp_chain_compact(
-            w1, w2, col_in_chunk, band, pcl, max_gap, anchor_score,
-            L_CAP, interpret=(compact_dp == 2))
+    if use_compact or use_compact_w:
+        if use_compact:
+            w1 = jnp.where(
+                ok_place,
+                ((cid & 31) << CID_SHIFT) | (qp * 4 + rev * 2 + 1), 0)
+            w2 = jnp.where(ok_place, (rc << PACK_RC_SHIFT) | rp, 0)
+            if stage == 6:   # + DP input packing (no regroup)
+                return _chk(w1, w2)
+            dp_c, dr_c = dp_chain_compact(
+                w1, w2, col_in_chunk, band, pcl, max_gap, anchor_score,
+                L_CAP, interpret=(compact_dp == 2))
+        else:
+            w1 = jnp.where(ok_place, qp * 4 + rev * 2 + 1, 0)
+            w2 = jnp.where(ok_place, rp, 0)
+            w3 = jnp.where(ok_place, ((cid & 31) << CID_SHIFT) | rc, -1)
+            if stage == 6:   # + DP input packing (no regroup)
+                return _chk(w1, w2, w3)
+            dp_c, dr_c = dp_chain_compact_wide(
+                w1, w2, w3, col_in_chunk, band, pcl, max_gap,
+                anchor_score, L_CAP, interpret=(compact_dp == 2))
         if stage == 7:   # + chaining DP
             return _chk(dp_c, dr_c)
         dep_c = dr_c >> 20
@@ -771,6 +787,13 @@ class DevicePairEngine:
             self.gen_mode = "sorted_packed"
         else:
             self.gen_mode = "sorted"
+        # compact-DP wide-tier bounds (dp_compact.dp_chain_compact_wide):
+        # positions fit 28 bits, contig ids 26 — true for any realistic
+        # genome, but verified rather than assumed
+        self._compact_wide_ok = all(
+            (len(s.contig_lengths) == 0
+             or int(max(s.contig_lengths)) < (1 << 28))
+            and len(s.contigs) < (1 << 26) for s in sketches)
         dense_budget = 0 if self._forced_merge else int(os.environ.get(
             "SKANI_TPU_DENSE_JOIN_MB", "512")) << 20
         db_band = 0
@@ -882,6 +905,11 @@ class DevicePairEngine:
                 return False
             if self.gen_mode == "sorted_packed" and not db_pack_ok(sketches):
                 return False
+            if self._compact_wide_ok and not all(
+                    (len(s.contig_lengths) == 0
+                     or int(max(s.contig_lengths)) < (1 << 28))
+                    and len(s.contigs) < (1 << 26) for s in sketches):
+                return False   # would invalidate the compiled wide-tier DP
         try:
             self.db.update_rows(slots, sketches)
         except ValueError:
@@ -952,7 +980,8 @@ class DevicePairEngine:
             join_mode=jm,
             fused_regroup=os.environ.get(
                 "SKANI_TPU_FUSED_REGROUP", "0") == "1",
-            compact_dp=self._compact_dp(dev))
+            compact_dp=self._compact_dp(dev),
+            compact_wide=self._compact_wide_ok)
         return ph, icap, ccap
 
     @staticmethod

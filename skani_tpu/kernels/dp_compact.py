@@ -131,18 +131,17 @@ def _kernel(w1_ref, w2_ref, score_ref, dr_ref,
     jax.lax.fori_loop(0, T, step, 0)
 
 
-def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
-                     max_gap: float, anchor_score: float, l_cap: int,
-                     interpret: bool = False):
-    """Compact-stream DP.  w1 (R, A) = cid_tag | qp<<2 | rev<<1 | valid,
-    w2 (R, A) = rc<<25 | rp, col_in_chunk (R, A).  Returns (score,
-    depth<<20|root) in compact order, root = global compact column."""
+def _run_compact(planes, kernel, n_scratch, col_in_chunk, band, pcl,
+                 max_gap, anchor_score, l_cap, interpret):
+    """Shared segment-lane machinery: marshal the compact planes into the
+    (steps, lanes) layout, run the scan kernel, undo the layout, and
+    resolve boundary-crossing chunks from the owners' halo columns."""
     assert float(max_gap) == float(int(max_gap))
     assert float(anchor_score) == float(int(anchor_score))
     from .. import stats
     stats.add("compact_dp_traces")   # trace-time: proves the engine took
     #                                  this path (tests assert on it)
-    R, A = w1.shape
+    R, A = planes[0].shape
     S = seg_len(A, l_cap)
     H = min(l_cap, S)
     assert A % S == 0 and H <= S
@@ -173,11 +172,10 @@ def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
         return jnp.concatenate(
             [x, jnp.zeros((T, lanes_pad - lanes), x.dtype)], axis=1)
 
-    m1 = padl(marshal(w1))
-    m2 = padl(marshal(w2))
+    ms = [padl(marshal(w)) for w in planes]
 
     kern = functools.partial(
-        _kernel, T=T, band=band, pcl=pcl, max_gap=int(max_gap),
+        kernel, T=T, band=band, pcl=pcl, max_gap=int(max_gap),
         anchor_score=int(anchor_score), RING=RING,
         RING_SHIFT=int(np.log2(RING)), LB=LB, R=R, S=S)
     spec = pl.BlockSpec((T, LB), lambda i: (0, i),
@@ -185,14 +183,14 @@ def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
     score_m, dr_m = pl.pallas_call(
         kern,
         grid=(lanes_pad // LB,),
-        in_specs=[spec, spec],
+        in_specs=[spec] * len(ms),
         out_specs=(spec, spec),
         out_shape=(jax.ShapeDtypeStruct((T, lanes_pad), jnp.int32),
                    jax.ShapeDtypeStruct((T, lanes_pad), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((RING, LB), jnp.int32)
-                        for _ in range(6)],
+                        for _ in range(n_scratch)],
         interpret=interpret,
-    )(m1, m2)
+    )(*ms)
 
     def unmarshal(o):
         segs = o[:, :lanes].reshape(T, K, R).transpose(1, 2, 0)  # (K, R, T)
@@ -212,3 +210,88 @@ def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
     sm, sh = unmarshal(score_m)
     dm, dh = unmarshal(dr_m)
     return jnp.where(fix, sh, sm), jnp.where(fix, dh, dm)
+
+
+def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
+                     max_gap: float, anchor_score: float, l_cap: int,
+                     interpret: bool = False):
+    """Compact-stream DP, packed positions.  w1 (R, A) = cid_tag | qp<<2
+    | rev<<1 | valid (qp < 2^24), w2 (R, A) = rc<<25 | rp.  Returns
+    (score, depth<<20|root) in compact order, root = global column."""
+    return _run_compact([w1, w2], _kernel, 6, col_in_chunk, band, pcl,
+                        max_gap, anchor_score, l_cap, interpret)
+
+
+def dp_chain_compact_wide(w1, w2, w3, col_in_chunk, band: int, pcl: int,
+                          max_gap: float, anchor_score: float, l_cap: int,
+                          interpret: bool = False):
+    """Compact-stream DP, WIDE positions (the big-genome / many-contig
+    tier where qp/rp exceed 24 bits): w1 = qp<<2 | rev<<1 | valid
+    (qp < 2^28), w2 = rp (full int32), w3 = cid_tag<<26 | rc (rc < 2^26)
+    — one w3 equality covers same-chunk AND same-ref-contig."""
+    return _run_compact([w1, w2, w3], _kernel_wide, 7, col_in_chunk, band,
+                        pcl, max_gap, anchor_score, l_cap, interpret)
+
+
+def _kernel_wide(w1_ref, w2_ref, w3_ref, score_ref, dr_ref,
+                 dpw, w1w, w2w, w3w, rootw, depw, slotw,
+                 *, T, band, pcl, max_gap, anchor_score, RING, RING_SHIFT,
+                 LB, R, S):
+    dpw[:] = jnp.zeros_like(dpw)
+    w1w[:] = jnp.zeros_like(w1w)            # valid bit 0 -> masked
+    w2w[:] = jnp.zeros_like(w2w)
+    w3w[:] = jnp.full_like(w3w, -1)         # never equal to a real word
+    rootw[:] = jnp.zeros_like(rootw)
+    depw[:] = jnp.zeros_like(depw)
+    slotw[:] = jnp.full_like(slotw, -(1 << 29))
+
+    lane_g = pl.program_id(0) * LB \
+        + jax.lax.broadcasted_iota(jnp.int32, (1, LB), 1)
+    base_col = (lane_g // R) * S          # lane = seg * R + row
+
+    def step(t, _):
+        w1_i = w1_ref[pl.ds(t, 1), :]       # (1, LB)
+        w2_i = w2_ref[pl.ds(t, 1), :]
+        w3_i = w3_ref[pl.ds(t, 1), :]
+
+        d_q = (w1_i >> 2) - (w1w[:] >> 2)
+        d_r_f = w2_i - w2w[:]
+        rev_i = (w1_i >> 1) & 1
+        d_r = jnp.where(rev_i == 1, -d_r_f, d_r_f)
+        gap = jnp.abs(d_r - d_q)
+        ok = w3w[:] == w3_i                  # same chunk AND ref contig
+        ok &= ((w1w[:] ^ w1_i) & 2) == 0     # same orientation
+        ok &= (w1w[:] & w1_i & 1) == 1       # both valid
+        ok &= (d_q <= pcl) & (d_q != 0)
+        ok &= w2_i != w2w[:]
+        ok &= (d_q <= D_MAX_LIN_LENGTH) & (d_r <= D_MAX_LIN_LENGTH)
+        ok &= d_r > 0
+        ok &= gap <= max_gap
+        ok &= slotw[:] >= jnp.maximum(t - band, 0)
+        rel = slotw[:] - (t - RING)
+        cand = anchor_score - gap + dpw[:]
+        comb = jnp.where(ok, cand * RING + rel, NEGI)
+        best = jnp.max(comb, axis=0, keepdims=True)
+        best_val = best >> RING_SHIFT
+        take = best_val > 0
+        onehot = ok & (comb == best)
+        pick = lambda w: jnp.sum(jnp.where(onehot, w[:], 0), axis=0,
+                                 keepdims=True)
+        dp_t = jnp.where(take, best_val, 0)
+        root_t = jnp.where(take, pick(rootw), base_col + t)
+        dep_t = jnp.where(take, pick(depw) + 1, 0)
+
+        score_ref[pl.ds(t, 1), :] = dp_t
+        dr_ref[pl.ds(t, 1), :] = (dep_t << ROOT_BITS) | root_t
+
+        s = jax.lax.rem(t, RING)
+        dpw[pl.ds(s, 1), :] = dp_t
+        w1w[pl.ds(s, 1), :] = w1_i
+        w2w[pl.ds(s, 1), :] = w2_i
+        w3w[pl.ds(s, 1), :] = w3_i
+        rootw[pl.ds(s, 1), :] = root_t
+        depw[pl.ds(s, 1), :] = dep_t
+        slotw[pl.ds(s, 1), :] = jnp.full_like(slotw[pl.ds(s, 1), :], t)
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)

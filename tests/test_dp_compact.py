@@ -179,6 +179,48 @@ def test_engine_fuzz_compact_interpret(tmp_path):
         os.environ.pop("SKANI_TPU_COMPACT_DP", None)
 
 
+def test_engine_fuzz_compact_wide_tier():
+    """Compact DP wide variant (3 planes, interpret) on > 64-contig
+    genomes — the unpacked 'sorted' generation mode the big-genome /
+    MAG tier uses."""
+    import test_device_fuzz as fz
+
+    os.environ["SKANI_TPU_COMPACT_DP"] = "2"
+    try:
+        from skani_tpu import CommandParams, SketchParams, stats
+        from skani_tpu.kernels.device_pipeline import DevicePairEngine
+
+        rng = np.random.default_rng(77)
+        # band = 2500/c must stay < 32 for compact eligibility -> c=100
+        sp = SketchParams(c=100, k=14, marker_c=200)
+        cp = CommandParams()
+        base = fz.BASES[rng.integers(0, 4, size=200000)]
+        sks = []
+        for g in range(3):
+            parts = []
+            for ci in range(80):        # 80 contigs > PACK_MAX_CTGS
+                lo = ci * 2500
+                s = base[lo:lo + 2400].copy()
+                nm = int(len(s) * rng.uniform(0, 0.03))
+                if nm:
+                    p = rng.choice(len(s), size=nm, replace=False)
+                    s[p] = fz.BASES[rng.integers(0, 4, size=nm)]
+                parts.append(s)
+            sks.append(fz._mk_sketch(parts, sp, f"wc{g}"))
+        eng = DevicePairEngine(sks, sp, cp, batch=3, i_cap=512, c_cap=128,
+                               l_cap=512)
+        assert eng.gen_mode == "sorted", eng.gen_mode
+        assert eng._compact_wide_ok
+        pairs = [(i, j) for i in range(3) for j in range(3) if i != j]
+        before = stats.snapshot().get("compact_dp_traces", 0)
+        res = eng.run_pairs(pairs, host_workers=0)
+        assert stats.snapshot().get("compact_dp_traces", 0) > before, \
+            "wide compact DP path did not engage"
+        fz._assert_matches_native(sks, cp, pairs, res)
+    finally:
+        os.environ.pop("SKANI_TPU_COMPACT_DP", None)
+
+
 def test_engine_fuzz_compact_multi_contig():
     """Compact DP (interpret) on multi-contig, repeat-heavy genomes —
     contig transitions and cascade chunking stress the cid-tag path."""
