@@ -42,8 +42,10 @@ print(jax.devices()); assert np.asarray(jnp.arange(4)+1)[3] == 4" \
         run bench_compact_deep 7200 python bench.py ;;
 3)  # dense-join budget crossover (VERDICT weak #7)
     run dense_crossover 7200 python scripts/dense_join_crossover.py ;;
-4)  # MAG-scale pair on device (VERDICT missing #4)
-    run mag_demo 10800 python scripts/mag_scale_demo.py ;;
+4)  # MAG-scale pair on device (VERDICT missing #4); wide-tier compact A/B
+    run mag_demo 10800 python scripts/mag_scale_demo.py
+    SKANI_TPU_COMPACT_DP=1 \
+        run mag_demo_compact 10800 python scripts/mag_scale_demo.py ;;
 5)  # 65k-genome search on the device-resident path (DB already built)
     SKANI_SCALE_PHASE=search \
         BENCH_DB_GENOMES=65000 BENCH_DB_GENOME_LEN=150000 \
