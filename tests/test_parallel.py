@@ -84,9 +84,16 @@ print("FLEET_OK")
 """
 
 
-def test_sharded_pair_fleet_matches_native():
+import pytest
+
+
+@pytest.mark.parametrize("compact", ["0", "2"])
+def test_sharded_pair_fleet_matches_native(compact):
+    """compact='2' re-runs the fleet with the compact-stream DP in
+    interpret mode — the multi-device path under the compact kernel."""
     env = dict(os.environ, PYTHONPATH=REPO,
                JAX_PLATFORMS="cpu",
+               SKANI_TPU_COMPACT_DP=compact,
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
     env.pop("PALLAS_AXON_POOL_IPS", None)
     r = subprocess.run([sys.executable, "-c", FLEET_SCRIPT % REPO],
