@@ -126,6 +126,46 @@ def test_compact_matches_padded_reference(seed, R, A, l_cap, band):
     np.testing.assert_array_equal(root_c[valid], root_e[valid])
 
 
+def test_compact_kernel_compiled_on_tpu():
+    """The real Mosaic lowering (interpret=False) vs interpret mode on
+    hardware — the only place mode 1 is exercised outside bench runs."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU backend in this session")
+    rng = np.random.default_rng(11)
+    w1, w2, colc, _chunks = _synth(rng, 2, 8192, 512)
+    a = dp_chain_compact(jnp.asarray(w1), jnp.asarray(w2),
+                         jnp.asarray(colc), BAND, PCL, MAX_GAP, SCORE,
+                         512, interpret=False)
+    b = dp_chain_compact(jnp.asarray(w1), jnp.asarray(w2),
+                         jnp.asarray(colc), BAND, PCL, MAX_GAP, SCORE,
+                         512, interpret=True)
+    valid = (w1 & 1) == 1
+    np.testing.assert_array_equal(np.asarray(a[0])[valid],
+                                  np.asarray(b[0])[valid])
+    np.testing.assert_array_equal(np.asarray(a[1])[valid],
+                                  np.asarray(b[1])[valid])
+
+    from skani_tpu.kernels.dp_compact import dp_chain_compact_wide
+    w3 = np.where((w1 & 1) == 1,
+                  (w1 >> CID_SHIFT << CID_SHIFT) | (w2 >> 25), -1)
+    w1p = w1 & ~(0x1F << CID_SHIFT)    # wide w1 carries no tag
+    w2p = np.where((w1 & 1) == 1, w2 & ((1 << 25) - 1), 0)
+    aw = dp_chain_compact_wide(
+        jnp.asarray(w1p), jnp.asarray(w2p), jnp.asarray(w3),
+        jnp.asarray(colc), BAND, PCL, MAX_GAP, SCORE, 512,
+        interpret=False)
+    bw = dp_chain_compact_wide(
+        jnp.asarray(w1p), jnp.asarray(w2p), jnp.asarray(w3),
+        jnp.asarray(colc), BAND, PCL, MAX_GAP, SCORE, 512,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(aw[0])[valid],
+                                  np.asarray(bw[0])[valid])
+    np.testing.assert_array_equal(np.asarray(aw[1])[valid],
+                                  np.asarray(bw[1])[valid])
+
+
 def test_engine_fuzz_compact_interpret(tmp_path):
     """Full-engine differential check with the compact DP in interpret
     mode: device engine == exact native path on small random genomes."""
