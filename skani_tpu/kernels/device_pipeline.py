@@ -982,6 +982,15 @@ class DevicePairEngine:
                 "SKANI_TPU_FUSED_REGROUP", "0") == "1",
             compact_dp=self._compact_dp(dev),
             compact_wide=self._compact_wide_ok)
+        if os.environ.get("SKANI_TPU_ASYNC_READBACK", "1") == "1":
+            # start the D2H copy the moment compute finishes, instead of
+            # when the pipeline loop reaches np.asarray — overlaps the
+            # transfer with the next batch's device work (same-thread
+            # hint; safe even on the tunneled client)
+            try:
+                ph.copy_to_host_async()
+            except Exception:
+                pass
         return ph, icap, ccap
 
     @staticmethod
