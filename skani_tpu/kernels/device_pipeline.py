@@ -519,20 +519,27 @@ def phase_a(db, ab_idx,
     # compact-stream DP (kernels/dp_compact.py): the regroup scatters,
     # the padded DP domain, AND the padded->compact extraction gather all
     # disappear — the DP walks the anchors where the expansion left them.
-    # Static eligibility: a band window too short for mod-32 cid-tag
-    # collisions, root/depth field headroom; packed modes carry the tag
-    # in w1, the wide (big-genome / many-contig) tier in a third plane
-    # (positions > 24 bits, host-verified bounds via compact_wide).
-    compact_common = (compact_dp > 0 and band < 32 and A <= (1 << 20)
+    # Three packings share the two kernels:
+    #  * packed, band < 32: the cid mod-32 tag rides in w1 (2 planes);
+    #  * packed, band >= 32 (slow preset): the FULL cid and rc (< 64)
+    #    pack into a third plane — no tag-ambiguity band limit;
+    #  * wide ('sorted' tier — positions > 24 bits, host-verified bounds
+    #    via compact_wide): qp/rp in their own planes, tag<<26|rc third
+    #    (band < 32 only: no spare bits for a full cid next to rc).
+    compact_common = (compact_dp > 0 and A <= (1 << 20)
                       and L_CAP <= 2047
                       and (L_CAP * int(anchor_score) + 1) * ring_size(band)
                       < (1 << 31))
-    use_compact = compact_common and gen_mode == "sorted_packed"
+    use_compact2 = (compact_common and gen_mode == "sorted_packed"
+                    and band < 32)
+    use_compact3 = (compact_common and gen_mode == "sorted_packed"
+                    and band >= 32 and C_CAP * 64 < (1 << 31))
     use_compact_w = (compact_common and gen_mode == "sorted"
-                     and compact_wide)
+                     and compact_wide and band < 32)
     valid_c = ok_place
-    if use_compact or use_compact_w:
-        if use_compact:
+    if use_compact2 or use_compact3 or use_compact_w:
+        itp = compact_dp == 2
+        if use_compact2:
             w1 = jnp.where(
                 ok_place,
                 ((cid & 31) << CID_SHIFT) | (qp * 4 + rev * 2 + 1), 0)
@@ -541,16 +548,20 @@ def phase_a(db, ab_idx,
                 return _chk(w1, w2)
             dp_c, dr_c = dp_chain_compact(
                 w1, w2, col_in_chunk, band, pcl, max_gap, anchor_score,
-                L_CAP, interpret=(compact_dp == 2))
+                L_CAP, interpret=itp)
         else:
             w1 = jnp.where(ok_place, qp * 4 + rev * 2 + 1, 0)
             w2 = jnp.where(ok_place, rp, 0)
-            w3 = jnp.where(ok_place, ((cid & 31) << CID_SHIFT) | rc, -1)
+            if use_compact3:
+                w3 = jnp.where(ok_place, cid * 64 + rc, -1)
+            else:
+                w3 = jnp.where(ok_place,
+                               ((cid & 31) << CID_SHIFT) | rc, -1)
             if stage == 6:   # + DP input packing (no regroup)
                 return _chk(w1, w2, w3)
             dp_c, dr_c = dp_chain_compact_wide(
                 w1, w2, w3, col_in_chunk, band, pcl, max_gap,
-                anchor_score, L_CAP, interpret=(compact_dp == 2))
+                anchor_score, L_CAP, interpret=itp)
         if stage == 7:   # + chaining DP
             return _chk(dp_c, dr_c)
         dep_c = dr_c >> 20

@@ -147,10 +147,6 @@ def _run_compact(planes, kernel, n_scratch, col_in_chunk, band, pcl,
     assert A % S == 0 and H <= S
     assert A <= (1 << ROOT_BITS)
     assert l_cap <= (1 << 11) - 1
-    # the mod-32 cid tag is unambiguous only while a band window spans
-    # < 32 chunk boundaries (cids are nondecreasing); the slow preset
-    # (band 83) must use the padded layout
-    assert band < 32
     RING = ring_size(band)
     assert (l_cap * int(anchor_score) + 1) * RING < (1 << 31)
     K = A // S
@@ -217,7 +213,12 @@ def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
                      interpret: bool = False):
     """Compact-stream DP, packed positions.  w1 (R, A) = cid_tag | qp<<2
     | rev<<1 | valid (qp < 2^24), w2 (R, A) = rc<<25 | rp.  Returns
-    (score, depth<<20|root) in compact order, root = global column."""
+    (score, depth<<20|root) in compact order, root = global column.
+
+    The mod-32 cid tag is unambiguous only while a band window spans
+    < 32 chunk boundaries (cids are nondecreasing) — wider bands must
+    use the 3-plane variant with a full cid (dp_chain_compact_wide)."""
+    assert band < 32
     return _run_compact([w1, w2], _kernel, 6, col_in_chunk, band, pcl,
                         max_gap, anchor_score, l_cap, interpret)
 
@@ -225,10 +226,15 @@ def dp_chain_compact(w1, w2, col_in_chunk, band: int, pcl: int,
 def dp_chain_compact_wide(w1, w2, w3, col_in_chunk, band: int, pcl: int,
                           max_gap: float, anchor_score: float, l_cap: int,
                           interpret: bool = False):
-    """Compact-stream DP, WIDE positions (the big-genome / many-contig
-    tier where qp/rp exceed 24 bits): w1 = qp<<2 | rev<<1 | valid
-    (qp < 2^28), w2 = rp (full int32), w3 = cid_tag<<26 | rc (rc < 2^26)
-    — one w3 equality covers same-chunk AND same-ref-contig."""
+    """Compact-stream DP with a third plane; one w3 equality covers
+    same-chunk AND same-ref-contig.  Two packings share this kernel:
+
+      * wide tier (qp/rp exceed 24 bits): w1 = qp<<2|rev<<1|valid
+        (qp < 2^28), w2 = rp, w3 = cid_tag<<26 | rc (rc < 2^26;
+        band < 32 — no spare bits for a full cid next to a wide rc);
+      * packed wide-band tier (slow preset, band >= 32): w2 = rp
+        (< 2^24), w3 = cid*64 + rc (rc < 64) — the FULL cid, so no
+        tag-ambiguity band limit at all."""
     return _run_compact([w1, w2, w3], _kernel_wide, 7, col_in_chunk, band,
                         pcl, max_gap, anchor_score, l_cap, interpret)
 

@@ -261,6 +261,41 @@ def test_engine_fuzz_compact_wide_tier():
         os.environ.pop("SKANI_TPU_COMPACT_DP", None)
 
 
+def test_engine_fuzz_compact_slow_preset_band():
+    """Slow-preset band (c=30 -> band 83 >= 32) routes to the 3-plane
+    full-cid packing — no tag-ambiguity limit — and stays exact."""
+    import test_device_fuzz as fz
+
+    os.environ["SKANI_TPU_COMPACT_DP"] = "2"
+    try:
+        from skani_tpu import CommandParams, SketchParams, stats
+        from skani_tpu.kernels.device_pipeline import DevicePairEngine
+        from skani_tpu.params import map_params_from_sketch
+
+        rng = np.random.default_rng(7)
+        sp = SketchParams(c=30, k=12, marker_c=200)
+        cp = CommandParams()
+        base = fz.BASES[rng.integers(0, 4, size=90000)]
+        sks = []
+        for g in range(3):
+            parts = fz._rand_genome(rng, 90000, int(rng.integers(1, 4)),
+                                    repeat=(g == 2), src=base)
+            sks.append(fz._mk_sketch(parts, sp, f"sb{g}"))
+        mp = map_params_from_sketch(sks[0], False, cp, None)
+        assert mp.index_chain_band >= 32, mp.index_chain_band
+        eng = DevicePairEngine(sks, sp, cp, batch=3, i_cap=512, c_cap=64,
+                               l_cap=1024)
+        assert eng.gen_mode == "sorted_packed"
+        pairs = [(i, j) for i in range(3) for j in range(3) if i != j]
+        before = stats.snapshot().get("compact_dp_traces", 0)
+        res = eng.run_pairs(pairs, host_workers=0)
+        assert stats.snapshot().get("compact_dp_traces", 0) > before, \
+            "full-cid compact DP path did not engage"
+        fz._assert_matches_native(sks, cp, pairs, res)
+    finally:
+        os.environ.pop("SKANI_TPU_COMPACT_DP", None)
+
+
 def test_engine_fuzz_compact_multi_contig():
     """Compact DP (interpret) on multi-contig, repeat-heavy genomes —
     contig transitions and cascade chunking stress the cid-tag path."""
