@@ -27,15 +27,18 @@ device-resident DeviceDb:
       segmented prefix-min, computed here as a single lax.cummax over
       (segment_id << VBITS | encoded value) packed keys; per-chunk
       metadata lands in ONE packed (hi | ctg | new) .set scatter;
-    * banded chaining DP over anchors REGROUPED to rows-per-chunk — the
-      dependency chain is per chunk, so the sequential length is the chunk
-      cap, not the total anchor count; a Pallas VMEM kernel on TPU, a
-      bit-identical lax.scan elsewhere (kernels/dp_pallas.py); chain ROOT
-      and DEPTH propagate through the band ring buffer, so no
-      pointer-chasing pass is needed afterwards.  In packed mode the DP
-      reads two packed planes (qp|rev|valid, rc<<25|rp) and emits
-      score/depth/root in ONE word, halving regroup scatters and
-      extraction gathers;
+    * banded chaining DP, two layouts: COMPACT-STREAM (default target,
+      kernels/dp_compact.py, SKANI_TPU_COMPACT_DP) walks the anchors
+      exactly where the expansion left them — chunk identity rides
+      in-band (cid tag / full-cid plane), rows split into segment-lanes
+      with an L_CAP halo, and the regroup scatters AND the extraction
+      gather disappear entirely; or PADDED (kernels/dp_pallas.py, the
+      fallback for legacy/AAI and the wide+wide-band combination) with
+      anchors regrouped to rows-per-chunk so the sequential length is
+      the chunk cap.  Both are Pallas VMEM kernels on TPU with
+      bit-identical lax.scan/interpret fallbacks; chain ROOT and DEPTH
+      propagate through the band ring buffer, so no pointer-chasing
+      pass is needed afterwards;
     * chain extraction by SORT AGGREGATION: anchors sorted by (root,
       key desc) put each chain's best (score, col) key first in its root
       group; good roots compact with a second 2-array sort, and every
