@@ -385,6 +385,9 @@ def main(argv=None) -> int:
         engine.triangle(cp, sp)
     elif cp.mode == Mode.SEARCH:
         engine.search(cp)
+    # a wedged device pool leaves a thread stuck inside backend init;
+    # results are already written, so exit hard rather than hang atexit
+    engine.hard_exit_if_wedged(0)
     return 0
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import logging
 import os
+import sys
 import time
 from typing import Dict, List, Optional
 
@@ -80,17 +81,55 @@ def _default_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,
 _accel_backend = None
 
 
+#: set when the device probe timed out — the backend thread is wedged and
+#: interpreter exit must bypass atexit (cli calls hard_exit_if_wedged)
+_device_probe_hung = False
+
+
 def _accelerator_present() -> bool:
     """True when JAX's default backend is an accelerator (TPU or the axon
-    tunnel to one).  Cached: jax.devices() initializes the backend once."""
-    global _accel_backend
+    tunnel to one).  Cached: jax.devices() initializes the backend once.
+
+    The probe runs on a watchdog thread: an unclaimable/wedged device
+    pool HANGS backend init indefinitely (it does not error), and a CLI
+    run must degrade to the exact native path instead of hanging — the
+    same guard bench.py applies (SKANI_TPU_DEVICE_TIMEOUT_S, default
+    300 s, generously above a healthy claim)."""
+    global _accel_backend, _device_probe_hung
     if _accel_backend is None:
-        try:
-            import jax
-            _accel_backend = jax.default_backend() not in ("cpu",)
-        except Exception:
+        import threading
+        res = []
+
+        def probe():
+            try:
+                import jax
+                res.append(jax.default_backend() not in ("cpu",))
+            except Exception:
+                res.append(False)
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout=float(os.environ.get(
+            "SKANI_TPU_DEVICE_TIMEOUT_S", "300")))
+        if res:
+            _accel_backend = res[0]
+        else:
+            log.warning("accelerator backend did not come up within the "
+                        "probe timeout; using the native executor "
+                        "(SKANI_TPU_DEVICE_TIMEOUT_S to adjust)")
             _accel_backend = False
+            _device_probe_hung = True
     return _accel_backend
+
+
+def hard_exit_if_wedged(code: int = 0) -> None:
+    """os._exit when the device probe wedged: a thread stuck inside
+    backend init can hang interpreter shutdown (atexit backend sync), so
+    the CLI exits hard after flushing (mirrors bench.py)."""
+    if _device_probe_hung:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(code)
 
 
 def _auto_pair_executor(ref_sketches, query_sketches, pairs, sketch_params,

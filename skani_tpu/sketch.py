@@ -189,6 +189,13 @@ def _accelerator_link_is_fast(threshold_bytes_per_s: float = 2e8) -> bool:
     (PCIe/ICI, GB/s), never over a tunneled link (~60 MB/s here)."""
     global _LINK_FAST
     if _LINK_FAST is None:
+        # watchdogged backend probe first: a wedged device pool hangs
+        # jax.devices() forever, and sketching must degrade to the
+        # native kernel instead of hanging the whole run
+        from . import engine
+        if not engine._accelerator_present():
+            _LINK_FAST = False
+            return _LINK_FAST
         try:
             import time
 
