@@ -30,9 +30,9 @@ STAGE_NAMES = {
     3: "+ anchor expansion (fill + pos gathers)",
     4: "+ anchor 5-key sort",
     5: "+ closed-form chunking",
-    6: "+ DP regroup scatters",
+    6: "+ DP inputs (regroup scatters / compact packing)",
     7: "+ chaining DP",
-    8: "+ extraction gather (padded->compact)",
+    8: "+ extraction (padded->compact gather; no-op compact)",
     9: "+ chain aggregation scatter",
     10: "+ root-column compaction sort",
     11: "+ per-chain field gathers",
