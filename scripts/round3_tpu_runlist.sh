@@ -39,7 +39,10 @@ print(jax.devices()); assert np.asarray(jnp.arange(4)+1)[3] == 4" \
     SKANI_TPU_LCAP=256 run bench_l256 7200 python bench.py
     SKANI_TPU_COMPACT_DP=1 run bench_compact 7200 python bench.py
     SKANI_TPU_COMPACT_DP=1 SKANI_TPU_INFLIGHT=6 \
-        run bench_compact_deep 7200 python bench.py ;;
+        run bench_compact_deep 7200 python bench.py
+    SKANI_TPU_MERGE_READ=4 run bench_merge4 7200 python bench.py
+    SKANI_TPU_COMPACT_DP=1 SKANI_TPU_MERGE_READ=4 \
+        run bench_compact_merge4 7200 python bench.py ;;
 3)  # dense-join budget crossover (VERDICT weak #7)
     run dense_crossover 7200 python scripts/dense_join_crossover.py ;;
 4)  # MAG-scale pair on device (VERDICT missing #4); wide-tier compact A/B

@@ -52,6 +52,7 @@ def one_config(seed: int) -> int:
                                 src=base if g else None)
         sks.append(fz._mk_sketch(parts, sp, f"s{seed}g{g}"))
     os.environ["SKANI_TPU_COMPACT_DP"] = compact
+    os.environ["SKANI_TPU_FUSED_REGROUP"] = str(rng.integers(0, 2))
     eng = DevicePairEngine(sks, sp, cp, batch=int(rng.integers(2, 5)),
                            i_cap=256, c_cap=64,
                            l_cap=int(rng.choice([512, 1024])))
@@ -74,6 +75,7 @@ def one_config(seed: int) -> int:
                   f"compact={compact}", flush=True)
     print(f"seed={seed:6d} c={c:3d} k={k} n={n_genomes} glen={glen} "
           f"mode={eng.gen_mode:14s} compact={compact} "
+          f"fused={os.environ['SKANI_TPU_FUSED_REGROUP']} "
           f"pairs={len(pairs)} mismatches={bad}", flush=True)
     return bad
 

@@ -996,11 +996,13 @@ class DevicePairEngine:
                 "SKANI_TPU_FUSED_REGROUP", "0") == "1",
             compact_dp=self._compact_dp(dev),
             compact_wide=self._compact_wide_ok)
-        if os.environ.get("SKANI_TPU_ASYNC_READBACK", "1") == "1":
+        if os.environ.get("SKANI_TPU_ASYNC_READBACK", "1") == "1" \
+                and int(os.environ.get("SKANI_TPU_MERGE_READ", "1")) <= 1:
             # start the D2H copy the moment compute finishes, instead of
             # when the pipeline loop reaches np.asarray — overlaps the
             # transfer with the next batch's device work (same-thread
-            # hint; safe even on the tunneled client)
+            # hint; safe even on the tunneled client).  Skipped under
+            # merged readback: the bytes would cross the link twice.
             try:
                 ph.copy_to_host_async()
             except Exception:
@@ -1354,6 +1356,9 @@ class DevicePairEngine:
                     w.start()
 
         depth = int(os.environ.get("SKANI_TPU_INFLIGHT", "3"))
+        merge_k = max(1, int(os.environ.get("SKANI_TPU_MERGE_READ", "1")))
+        if merge_k > 1:
+            depth = max(depth, merge_k + 2)
         # Host pipeline modes (SKANI_TPU_READER):
         #   1 (default) — dispatch and readback stay on the MAIN thread
         #     (the tunneled axon client wedges when a second thread issues
@@ -1424,13 +1429,38 @@ class DevicePairEngine:
                 rd.join()
             else:
                 inflight = []
+                # Merged readback (SKANI_TPU_MERGE_READ=K): pop up to K
+                # same-shape in-flight batches, concatenate their packed
+                # outputs ON DEVICE (an async dispatch) and fetch the lot
+                # with ONE np.asarray.  On the tunneled link the readback
+                # cost is per-ROUNDTRIP, not per-byte, so K batches share
+                # one ~50 ms floor instead of paying it each.  Pure
+                # transfer scheduling — the split reproduces each batch's
+                # array bit-for-bit.
+
+                def _key(entry):
+                    ph, icap, ccap = entry[1]
+                    return (icap, ccap, ph.shape[1:], ph.dtype)
 
                 def read_one():
-                    group, (ph, icap, ccap) = inflight.pop(0)
+                    take = 1
+                    while take < min(merge_k, len(inflight)) \
+                            and _key(inflight[take]) == _key(inflight[0]):
+                        take += 1
+                    entries = [inflight.pop(0) for _ in range(take)]
                     t0 = _time.perf_counter()
-                    packed = np.asarray(ph)
-                    fin_q.put((group, packed, icap, ccap,
-                               _time.perf_counter() - t0))
+                    if take == 1:
+                        packed_all = np.asarray(entries[0][1][0])
+                    else:
+                        packed_all = np.asarray(jnp.concatenate(
+                            [e[1][0] for e in entries], axis=0))
+                    dt = (_time.perf_counter() - t0) / take
+                    off = 0
+                    for group, (ph, icap, ccap) in entries:
+                        n = ph.shape[0]
+                        fin_q.put((group, packed_all[off:off + n],
+                                   icap, ccap, dt))
+                        off += n
 
                 try:
                     while True:

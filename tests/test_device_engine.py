@@ -159,3 +159,36 @@ def test_dense_join_matches_merge_join():
             assert (np.isnan(r.ani) and np.isnan(native.ani)) \
                 or (r.ani == native.ani
                     and r.ci_lower == native.ci_lower), (i, j)
+
+
+def test_device_engine_merged_readback(monkeypatch):
+    """SKANI_TPU_MERGE_READ=K fetches K in-flight batches with one
+    device-side concat + single readback; the host-side split must
+    reproduce the per-batch results bit-for-bit (pure transfer
+    scheduling, no numeric effect)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import test_device_fuzz as fz
+
+    rng = np.random.default_rng(20260817)
+    sp = SketchParams()
+    base = fz.BASES[rng.integers(0, 4, size=80_000)]
+    sks = [fz._mk_sketch(
+        fz._rand_genome(rng, 80_000, 2, src=None if g == 0 else base),
+        sp, f"m{g}") for g in range(4)]
+    pairs = [(i, j) for i in range(4) for j in range(4) if i < j]
+    cp = CommandParams()
+
+    monkeypatch.delenv("SKANI_TPU_MERGE_READ", raising=False)
+    base_res = DevicePairEngine(sks, sp, cp, batch=2, i_cap=256,
+                                c_cap=64).run_pairs(pairs, host_workers=0)
+    monkeypatch.setenv("SKANI_TPU_MERGE_READ", "3")
+    merged = DevicePairEngine(sks, sp, cp, batch=2, i_cap=256,
+                              c_cap=64).run_pairs(pairs, host_workers=0)
+    for (i, j), a, b in zip(pairs, base_res, merged):
+        assert (np.isnan(a.ani) and np.isnan(b.ani)) or (
+            a.ani == b.ani
+            and a.align_fraction_query == b.align_fraction_query
+            and a.align_fraction_ref == b.align_fraction_ref
+            and a.ci_lower == b.ci_lower and a.ci_upper == b.ci_upper), (i, j)
