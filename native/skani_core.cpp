@@ -333,45 +333,67 @@ static void extract_intervals(const Anchor* a, int64_t n, int64_t base,
 }
 
 // greedy non-overlap (reference: src/chain.rs:1008-1099)
+// Accepted-interval index for one contig: (start, end) pairs kept sorted
+// by start, with the max accepted length as a scan bound.  An overlap
+// query walks backward from the last start < e and stops once
+// start + max_len <= s — every earlier interval ends at or before s.
+// Same accepted set and overlap sums as a full linear scan (the sum is
+// commutative), O(log n + overlap window) instead of O(n) per candidate.
+struct AcceptedList {
+    std::vector<std::pair<uint32_t, uint32_t>> by_start;  // (start, end)
+    uint32_t max_len = 0;
+    void insert(uint32_t s, uint32_t e) {
+        auto it = std::upper_bound(
+            by_start.begin(), by_start.end(),
+            std::make_pair(s, (uint32_t)UINT32_MAX));
+        by_start.insert(it, {s, e});
+        if (e - s > max_len) max_len = e - s;
+    }
+    // total overlap credit vs [s, e): sum of min(e - o.s, o.e - s)
+    // over every accepted o with o.s < e && o.e > s
+    bool overlap(uint32_t s, uint32_t e, uint64_t& sum) const {
+        bool any = false;
+        auto it = std::lower_bound(
+            by_start.begin(), by_start.end(),
+            std::make_pair(e, (uint32_t)0));
+        while (it != by_start.begin()) {
+            --it;
+            if ((uint64_t)it->first + max_len <= s) break;
+            if (it->second > s) {
+                any = true;
+                sum += std::min((uint64_t)(e - it->first),
+                                (uint64_t)(it->second - s));
+            }
+        }
+        return any;
+    }
+};
+
 static void nonoverlap(std::vector<Interval>& ivs, int64_t num_chunks,
                        std::vector<std::vector<Interval>>& good) {
     std::sort(ivs.begin(), ivs.end(), interval_gt);
     good.assign((size_t)num_chunks, {});
-    // per-contig accepted interval lists
-    std::vector<std::pair<int64_t, std::vector<const Interval*>>> tq, tr;
-    auto find_list = [](std::vector<std::pair<int64_t,
-                        std::vector<const Interval*>>>& t, int64_t key)
-        -> std::vector<const Interval*>& {
+    // per-contig accepted interval indexes
+    std::vector<std::pair<int64_t, AcceptedList>> tq, tr;
+    auto find_list = [](std::vector<std::pair<int64_t, AcceptedList>>& t,
+                        int64_t key) -> AcceptedList& {
         for (auto& p : t) if (p.first == key) return p.second;
         t.push_back({key, {}});
         return t.back().second;
     };
-    std::vector<const Interval*> accepted;
-    accepted.reserve(ivs.size());
     for (auto& iv : ivs) {
         auto& lq = find_list(tq, iv.qc);
         auto& lr = find_list(tr, iv.rc);
         uint64_t sum_r = 0, sum_q = 0;
-        bool any_r = false, any_q = false;
-        for (auto* o : lr) {
-            if (o->r0 < iv.r1 && iv.r0 < o->r1) {
-                any_r = true;
-                sum_r += std::min(iv.r1 - o->r0, o->r1 - iv.r0);
-            }
-        }
-        for (auto* o : lq) {
-            if (o->q0 < iv.q1 && iv.q0 < o->q1) {
-                any_q = true;
-                sum_q += std::min(iv.q1 - o->q0, o->q1 - iv.q0);
-            }
-        }
+        bool any_r = lr.overlap(iv.r0, iv.r1, sum_r);
+        bool any_q = lq.overlap(iv.q0, iv.q1, sum_q);
         bool ok_r = !any_r ||
             ((float)sum_r < (float)(iv.r1 - iv.r0) * 0.50f);
         bool ok_q = !any_q ||
             ((float)sum_q < (float)(iv.q1 - iv.q0) * 0.50f);
         if (ok_r && ok_q) {
-            lq.push_back(&iv);
-            lr.push_back(&iv);
+            lq.insert(iv.q0, iv.q1);
+            lr.insert(iv.r0, iv.r1);
             good[iv.chunk_id].push_back(iv);
         }
     }
@@ -746,6 +768,9 @@ void bootstrap_ci(const double* anis, const int64_t* weights, int64_t n,
     out[0] = 0.0; out[1] = 1.0; out[2] = std;
     if (n < 10) return;
     std::vector<double> mult;
+    int64_t tot = 0;
+    for (int64_t i = 0; i < n; i++) tot += weights[i];
+    mult.reserve((size_t)std::max(tot, (int64_t)0));
     for (int64_t i = 0; i < n; i++)
         for (int64_t m = 0; m < weights[i]; m++) mult.push_back(anis[i]);
     if (mult.empty()) return;
@@ -797,7 +822,14 @@ static void finalize_device_range(
     const int64_t* ban_addr, const int64_t* ban_len,
     double* out_f, int64_t* out_i) {
     const int64_t I = i_cap, C = c_cap;
+    // env-gated phase accumulators (SKANI_NATIVE_PROFILE): shared across
+    // threads without locking — profiling runs are single-threaded
+    static double pf_unpack = 0, pf_nonov = 0, pf_stats = 0, pf_tail = 0;
+    static int64_t pf_pairs = 0;
+    const bool prof = profile_enabled();
+    double pt0 = 0;
     for (int64_t w = w_begin; w < w_end; w += n_step) {
+        if (prof) pt0 = now_ms();
         const int32_t* row = packed + w * row_stride;
         double* of = out_f + w * 6;
         int64_t* oi = out_i + w * 4;
@@ -854,8 +886,10 @@ static void finalize_device_range(
                                cid, (uint8_t)row[9 * I + i]});
             }
         }
+        if (prof) { pf_unpack += now_ms() - pt0; pt0 = now_ms(); }
         std::vector<std::vector<Interval>> good;
         nonoverlap(ivs, n_chunks, good);
+        if (prof) { pf_nonov += now_ms() - pt0; pt0 = now_ms(); }
 
         // --- rank tables for this pair ---
         const int64_t* t_all = (const int64_t*)(uintptr_t)all_addr[w];
@@ -952,6 +986,7 @@ static void finalize_device_range(
             wts.push_back(amino ? total_seeds / 6 : considered);
         }
 
+        if (prof) { pf_stats += now_ms() - pt0; pt0 = now_ms(); }
         // --- calculate_ani tail (reference: src/chain.rs:414-517) ---
         if (ests.empty() || num_chains == 0) { oi[0] = 1; continue; }
         int64_t n_est = (int64_t)ests.size();
@@ -1021,6 +1056,15 @@ static void finalize_device_range(
         oi[1] = num_chains ? (int64_t)(avg_sum / (uint64_t)num_chains) : 0;
         oi[2] = num_chains;
         oi[3] = (int64_t)total_query_bases;
+        if (prof) pf_tail += now_ms() - pt0;
+    }
+    if (prof) {
+        pf_pairs += (w_end - w_begin + n_step - 1) / n_step;
+        fprintf(stderr,
+                "[finalize] unpack %.2f nonoverlap %.2f rank+stats %.2f "
+                "tail+ci %.2f ms cumulative over %lld pairs\n",
+                pf_unpack, pf_nonov, pf_stats, pf_tail,
+                (long long)pf_pairs);
     }
 }
 
