@@ -897,16 +897,16 @@ static void finalize_device_range(
         const int64_t* t_ban = (const int64_t*)(uintptr_t)ban_addr[w];
         const int64_t n_all = all_len[w], n_own = own_len[w],
             n_ban = ban_len[w];
-        auto rank = [&](int64_t ctg, int64_t v) -> int64_t {
-            int64_t key = ctg * (int64_t)4294967296LL + v;
-            auto ub = [&](const int64_t* t, int64_t n) -> int64_t {
-                return std::upper_bound(t, t + n, key) - t;
-            };
-            int64_t r = ub(t_all, n_all);
-            if (n_own) r -= ub(t_own, n_own);
-            if (n_ban) r -= ub(t_ban, n_ban);
-            return r;
-        };
+        const int64_t* tabs[3] = {t_all, t_own, t_ban};
+        const int64_t lens[3] = {n_all, n_own, n_ban};
+        // Every rank the estimator consumes is a DIFFERENCE of ranks at
+        // keys inside one chunk's (lo, hi] window, so the full-table
+        // upper_bounds are needed only at the window edges; the inner
+        // queries then search the ~window-sized subrange (L1-resident)
+        // instead of the whole table.  Chunks tile the contig, so the
+        // next chunk's lo-edge bounds are this chunk's hi-edge bounds.
+        int64_t carry_ctg = -1, carry_hi = 0;
+        int64_t carry_at[3] = {0, 0, 0};
 
         // --- per-chunk aggregation + estimator tail ---
         std::vector<double> ests;
@@ -959,14 +959,42 @@ static void finalize_device_range(
             if (t > 0 && !chunk_new[(size_t)t]) lo = chunk_hi[(size_t)(t - 1)];
             int64_t hi = chunk_hi[(size_t)t];
             int64_t ctg = chunk_ctg[(size_t)t];
-            int64_t r_lo = rank(ctg, lo), r_hi = rank(ctg, hi);
-            int64_t total_seeds = r_hi - r_lo;
-            int64_t in_range = rank(ctg, std::min(trq1, hi))
-                - rank(ctg, std::max(trq0 - 1, lo));
+            const int64_t key_lo = ctg * (int64_t)4294967296LL + lo;
+            const int64_t key_hi = ctg * (int64_t)4294967296LL + hi;
+            int64_t wlo[3], whi[3];
+            for (int s = 0; s < 3; s++) {
+                if (!lens[s]) { wlo[s] = whi[s] = 0; continue; }
+                wlo[s] = (ctg == carry_ctg && lo == carry_hi)
+                    ? carry_at[s]
+                    : std::upper_bound(tabs[s], tabs[s] + lens[s],
+                                       key_lo) - tabs[s];
+                whi[s] = std::upper_bound(tabs[s] + wlo[s],
+                                          tabs[s] + lens[s],
+                                          key_hi) - tabs[s];
+            }
+            carry_ctg = ctg;
+            carry_hi = hi;
+            for (int s = 0; s < 3; s++) carry_at[s] = whi[s];
+            auto rank_in = [&](int64_t v) -> int64_t {   // lo <= v <= hi
+                int64_t key = ctg * (int64_t)4294967296LL + v;
+                int64_t r = std::upper_bound(tabs[0] + wlo[0],
+                                             tabs[0] + whi[0], key)
+                    - tabs[0];
+                for (int s = 1; s < 3; s++)
+                    if (lens[s])
+                        r -= std::upper_bound(tabs[s] + wlo[s],
+                                              tabs[s] + whi[s], key)
+                            - tabs[s];
+                return r;
+            };
+            int64_t total_seeds = (whi[0] - wlo[0]) - (whi[1] - wlo[1])
+                - (whi[2] - wlo[2]);
+            int64_t in_range = rank_in(std::min(trq1, hi))
+                - rank_in(std::max(trq0 - 1, lo));
             double in_union = 0.0;
             for (auto& m : merged)
-                in_union += (double)(rank(ctg, std::min(m.second, hi))
-                                     - rank(ctg, std::max(m.first - 1, lo)));
+                in_union += (double)(rank_in(std::min(m.second, hi))
+                                     - rank_in(std::max(m.first - 1, lo)));
             // estimator tail (reference: src/chain.rs:326-396; mirrors
             // device_pipeline._finalize_chunks bit for bit)
             double putative = std::pow((double)total_anchors / in_union,
