@@ -41,24 +41,38 @@ class GbdtModel:
         if features.ndim == 1:
             features = features[None, :]
         batch = features.shape[0]
-        t = np.arange(self.n_trees)
+        n_nodes = self.threshold.shape[1]
+        # flat-offset gathers (ndarray.take) instead of fancy double
+        # indexing — same elements, ~3x less indexing overhead
+        toff = (np.arange(self.n_trees, dtype=np.int32)
+                * n_nodes)[None, :]
+        foff = (np.arange(batch, dtype=np.int32)
+                * features.shape[1])[:, None]
+        fi_f = self.feature_index.ravel()
+        th_f = self.threshold.ravel()
+        leaf_f = self.is_leaf.ravel()
+        left_f = self.left.ravel()
+        right_f = self.right.ravel()
+        feat_f = features.ravel()
         node = np.zeros((batch, self.n_trees), dtype=np.int32)
         for _ in range(self.max_depth + 1):
-            fi = self.feature_index[t[None, :], node]
-            th = self.threshold[t[None, :], node]
-            leaf = self.is_leaf[t[None, :], node]
-            fv = np.take_along_axis(features, fi.reshape(batch, -1),
-                                    axis=1).reshape(batch, self.n_trees)
+            flat = node + toff
+            fi = fi_f.take(flat)
+            th = th_f.take(flat)
+            leaf = leaf_f.take(flat)
+            fv = feat_f.take(foff + fi)
             go_left = fv < th
-            nxt = np.where(go_left, self.left[t[None, :], node],
-                           self.right[t[None, :], node])
+            nxt = np.where(go_left, left_f.take(flat), right_f.take(flat))
             node = np.where(leaf, node, nxt.astype(np.int32))
-        leaf_pred = self.pred[t[None, :], node]
+        leaf_pred = self.pred.ravel().take(node + toff)
         # f32 accumulation order: bias + shrinkage*p0 + shrinkage*p1 + ...
-        acc = np.full(batch, self.bias, dtype=np.float32)
-        for ti in range(self.n_trees):
-            acc = (acc + self.shrinkage * leaf_pred[:, ti]).astype(np.float32)
-        return acc
+        # ufunc.accumulate is sequential by definition, so one accumulate
+        # reproduces the per-tree loop's rounding bit-for-bit
+        contrib = np.concatenate(
+            [np.full((batch, 1), self.bias, dtype=np.float32),
+             (self.shrinkage * leaf_pred).astype(np.float32)], axis=1)
+        return np.add.accumulate(contrib, axis=1,
+                                 dtype=np.float32)[:, -1]
 
 
 @functools.lru_cache(maxsize=2)
