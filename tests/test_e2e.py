@@ -134,3 +134,33 @@ def test_dist_output_file_and_ci(tmp_path):
     assert r.returncode == 0
     rows = parse_tsv(open(out).read())
     assert "ANI_5_percentile" in rows[0]
+
+
+def test_sketch_qi_search_equals_dist_qi_ri(tmp_path):
+    """reference: tests/integration_test.rs:980-1104 — `sketch -i` +
+    `search --qi` reports the same (ref contig, query contig) -> ANI map
+    as `dist --qi --ri` for every pair passing search's ani > 0.5 keep
+    rule (dist keeps ani > 0.1, so it is a superset)."""
+    dbdir = str(tmp_path / "dbq")
+    r = run_cli(["sketch", fixture_path("viruses.fna"), "-i", "-o", dbdir])
+    assert r.returncode == 0, r.stderr
+    s = run_cli(["search", "-d", dbdir, fixture_path("viruses.fna"),
+                 "--qi"])
+    assert s.returncode == 0, s.stderr
+    d = run_cli(["dist", fixture_path("viruses.fna"),
+                 fixture_path("viruses.fna"), "--qi", "--ri"])
+    assert d.returncode == 0, d.stderr
+    skey = {(row["Ref_name"], row["Query_name"]):
+            (row["ANI"], row["Align_fraction_ref"],
+             row["Align_fraction_query"])
+            for row in parse_tsv(s.stdout)}
+    dkey = {(row["Ref_name"], row["Query_name"]):
+            (row["ANI"], row["Align_fraction_ref"],
+             row["Align_fraction_query"])
+            for row in parse_tsv(d.stdout)}
+    assert skey, "search reported nothing"
+    for pair, vals in skey.items():
+        assert dkey.get(pair) == vals, pair
+    # dist-only rows (if any) must all be below search's 50% keep rule
+    for pair in set(dkey) - set(skey):
+        assert float(dkey[pair][0]) <= 50.0, pair
