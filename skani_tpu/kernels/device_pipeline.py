@@ -967,15 +967,17 @@ class DevicePairEngine:
         blowing HBM or falling back to the host."""
         return max(2, min(self.R, (8 << 20) // bucket_a))
 
-    def _dispatch_phase_a(self, group, mp0):
-        r_b = self._r_for(group[0][7])
-        a_idx = np.zeros(r_b, dtype=np.int32)
-        b_idx = np.zeros(r_b, dtype=np.int32)
-        for w, item in enumerate(group):
-            a_idx[w] = item[1]
-            b_idx[w] = item[2]
+    def _dispatch_phase_a(self, group, mp0, idx_dev=None):
         dev = self.device or jax.devices()[0]
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
+        if idx_dev is None:
+            r_b = self._r_for(group[0][7])
+            a_idx = np.zeros(r_b, dtype=np.int32)
+            b_idx = np.zeros(r_b, dtype=np.int32)
+            for w, item in enumerate(group):
+                a_idx[w] = item[1]
+                b_idx[w] = item[2]
+            idx_dev = put(np.stack([a_idx, b_idx]))
         jm = self.join_mode
         if jm == "dense_pos" \
                 and mp0.index_chain_band != getattr(self.db, "band", -1):
@@ -983,7 +985,7 @@ class DevicePairEngine:
         icap, ccap = self._caps_for(group[0][7])
         ph = phase_a(
             self.db.arrays,
-            put(np.stack([a_idx, b_idx])),
+            idx_dev,
             A=group[0][7], I_CAP=icap, C_CAP=ccap,
             L_CAP=self.L_CAP,
             band=mp0.index_chain_band, fl=mp0.fragment_length,
@@ -1304,6 +1306,49 @@ class DevicePairEngine:
 
         worker_errors = []
 
+        # Merged pair-index upload (SKANI_TPU_MERGE_PUT=K): on the tunneled
+        # link each device_put is a full roundtrip (~30-50 ms) regardless of
+        # size, so the per-batch (2, R) index transfer costs as much as the
+        # readback.  Grab up to K same-bucket batches from the queue, ship
+        # ONE (K, 2, R) block, and hand each dispatch its device-side slice
+        # (big[i] is an async on-device gather, not a transfer).  Pure
+        # transfer scheduling — results are bit-identical.
+        put_k = max(1, int(os.environ.get("SKANI_TPU_MERGE_PUT", "1")))
+        _pend = []    # [(group, idx_dev)] formed but not yet dispatched
+        _held = []    # one group popped past a bucket boundary
+
+        def next_dispatch():
+            """Next (group, (ph, icap, ccap)) entry, or None when drained."""
+            if not _pend:
+                g = _held.pop() if _held else take_front()
+                if not g:
+                    return None
+                if put_k <= 1:
+                    _pend.append((g, None))
+                else:
+                    groups = [g]
+                    while len(groups) < put_k:
+                        g2 = take_front()
+                        if not g2:
+                            break
+                        if g2[0][7] != g[0][7]:
+                            _held.append(g2)   # next bucket starts here
+                            break
+                        groups.append(g2)
+                    r_b = self._r_for(g[0][7])
+                    idx = np.zeros((len(groups), 2, r_b), dtype=np.int32)
+                    for i, gr in enumerate(groups):
+                        for w, item in enumerate(gr):
+                            idx[i, 0, w] = item[1]
+                            idx[i, 1, w] = item[2]
+                    dev = self.device or jax.devices()[0]
+                    big = jax.device_put(jnp.asarray(idx), dev)
+                    _pend.extend((gr, big[i])
+                                 for i, gr in enumerate(groups))
+            group, idx_dev = _pend.pop(0)
+            return group, self._dispatch_phase_a(group, group[0][4],
+                                                 idx_dev)
+
         def host_loop():
             while True:
                 item = take_back()
@@ -1420,11 +1465,10 @@ class DevicePairEngine:
                 rd = threading.Thread(target=reader_loop)
                 rd.start()
                 while True:
-                    group = take_front()
-                    if not group:
+                    entry = next_dispatch()
+                    if entry is None:
                         break
-                    read_q.put((group, self._dispatch_phase_a(
-                        group, group[0][4])))
+                    read_q.put(entry)
                 read_q.put(None)
                 rd.join()
             else:
@@ -1464,14 +1508,13 @@ class DevicePairEngine:
 
                 try:
                     while True:
-                        group = take_front()
-                        if group:
-                            inflight.append((group, self._dispatch_phase_a(
-                                group, group[0][4])))
-                        if (not group and inflight) \
+                        entry = next_dispatch()
+                        if entry is not None:
+                            inflight.append(entry)
+                        if (entry is None and inflight) \
                                 or len(inflight) >= depth:
                             read_one()
-                        if not group and not inflight:
+                        if entry is None and not inflight:
                             break
                 finally:
                     fin_q.put(None)
@@ -1479,13 +1522,12 @@ class DevicePairEngine:
         else:
             inflight = []
             while True:
-                group = take_front()
-                if group:
-                    inflight.append(
-                        (group, self._dispatch_phase_a(group, group[0][4])))
-                if (not group and inflight) or len(inflight) >= depth:
+                entry = next_dispatch()
+                if entry is not None:
+                    inflight.append(entry)
+                if (entry is None and inflight) or len(inflight) >= depth:
                     process(inflight.pop(0))
-                if not group and not inflight:
+                if entry is None and not inflight:
                     break
         for w in workers:
             w.join()

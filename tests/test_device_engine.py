@@ -186,9 +186,18 @@ def test_device_engine_merged_readback(monkeypatch):
     monkeypatch.setenv("SKANI_TPU_MERGE_READ", "3")
     merged = DevicePairEngine(sks, sp, cp, batch=2, i_cap=256,
                               c_cap=64).run_pairs(pairs, host_workers=0)
-    for (i, j), a, b in zip(pairs, base_res, merged):
-        assert (np.isnan(a.ani) and np.isnan(b.ani)) or (
-            a.ani == b.ani
-            and a.align_fraction_query == b.align_fraction_query
-            and a.align_fraction_ref == b.align_fraction_ref
-            and a.ci_lower == b.ci_lower and a.ci_upper == b.ci_upper), (i, j)
+    # merged pair-index UPLOAD on top of merged readback: one (K, 2, R)
+    # device_put per K batches, each dispatch slicing its row on device —
+    # again pure transfer scheduling, bit-identical results required
+    monkeypatch.setenv("SKANI_TPU_MERGE_PUT", "3")
+    merged_put = DevicePairEngine(sks, sp, cp, batch=2, i_cap=256,
+                                  c_cap=64).run_pairs(pairs, host_workers=0)
+    monkeypatch.delenv("SKANI_TPU_MERGE_PUT", raising=False)
+    for (i, j), a, b, c in zip(pairs, base_res, merged, merged_put):
+        for r in (b, c):
+            assert (np.isnan(a.ani) and np.isnan(r.ani)) or (
+                a.ani == r.ani
+                and a.align_fraction_query == r.align_fraction_query
+                and a.align_fraction_ref == r.align_fraction_ref
+                and a.ci_lower == r.ci_lower
+                and a.ci_upper == r.ci_upper), (i, j)
