@@ -41,6 +41,7 @@ tests/test_dp_compact.py and by the differential fuzz on the engine.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -161,6 +162,25 @@ def _run_compact(planes, kernel, n_scratch, col_in_chunk, band, pcl,
     lanes = K * R
     lanes_pad = ((lanes + 127) // 128) * 128
     LB = 256 if lanes_pad % 256 == 0 else 128
+    # VMEM sizing: each grid block stages (planes + 2 outputs) (T, LB)
+    # int32 buffers, DOUBLE-buffered by the Mosaic pipeline, plus the ring
+    # scratch.  The default scoped-vmem limit is 16 MB and production
+    # shapes exceed it at LB=256 (measured: 20.19 MB requested -> compile
+    # OOM on v5e), so the limit is raised explicitly to what the block
+    # actually needs; v5e has 128 MB VMEM and the static caps above bound
+    # the worst tier (l_cap 2047, 3 planes) near ~42 MB at LB=256.
+    lb_env = int(os.environ.get("SKANI_TPU_COMPACT_LB", "0"))
+    if lb_env in (128, 256) and lanes_pad % lb_env == 0:
+        LB = lb_env
+
+    def _vmem_need(lb):
+        return ((len(planes) + 2) * T * lb * 4) * 2 + n_scratch * RING * lb * 4
+
+    if _vmem_need(LB) > (96 << 20) and LB == 256:
+        LB = 128
+    vmem_limit = min(max(_vmem_need(LB) + (2 << 20), 16 << 20), 110 << 20)
+    compiler_params = (None if interpret else
+                       pltpu.CompilerParams(vmem_limit_bytes=vmem_limit))
 
     def padl(x):
         if lanes_pad == lanes:
@@ -186,6 +206,8 @@ def _run_compact(planes, kernel, n_scratch, col_in_chunk, band, pcl,
         scratch_shapes=[pltpu.VMEM((RING, LB), jnp.int32)
                         for _ in range(n_scratch)],
         interpret=interpret,
+        **({} if compiler_params is None
+           else {"compiler_params": compiler_params}),
     )(*ms)
 
     def unmarshal(o):
