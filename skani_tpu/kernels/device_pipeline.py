@@ -1015,8 +1015,13 @@ class DevicePairEngine:
     def _compact_dp(dev) -> int:
         """Compact-stream DP mode (kernels/dp_compact.py): 1 = Pallas
         kernel (TPU only), 2 = interpret mode (CPU exactness tests),
-        0 = padded layout.  SKANI_TPU_COMPACT_DP overrides."""
-        v = os.environ.get("SKANI_TPU_COMPACT_DP", "0")
+        0 = padded layout.  SKANI_TPU_COMPACT_DP overrides.
+
+        Default is ON for TPU since the round-3 hardware A/B (runlist
+        step 1, 2026-08-18): 486 vs 326 unique pairs/s on the 190-pair
+        bench, mismatches 0 — the compact layout removes both DP regroup
+        scatters and the padded->compact extraction gather."""
+        v = os.environ.get("SKANI_TPU_COMPACT_DP", "1")
         if v == "2":
             return 2
         if v == "1" and dev.platform == "tpu":
