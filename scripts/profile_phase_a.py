@@ -50,7 +50,8 @@ def main():
     dev = jax.devices()[0]
     print(f"device={dev}  R={eng.R} A={eng.A} K={eng.db.K} P={eng.db.P} "
           f"C_CAP={eng.C_CAP} L_CAP={eng.L_CAP} band={mp.index_chain_band} "
-          f"mode={eng.gen_mode} join={eng.join_mode}", flush=True)
+          f"mode={eng.gen_mode} join={eng.join_mode} "
+          f"compact_dp={DevicePairEngine._compact_dp(dev)}", flush=True)
 
     n = len(sketches)
     a_idx = np.arange(eng.R, dtype=np.int32) % n
@@ -65,7 +66,9 @@ def main():
               use_pallas=dev.platform == "tpu", gen_mode=eng.gen_mode,
               join_mode=eng.join_mode,
               fused_regroup=os.environ.get(
-                  "SKANI_TPU_FUSED_REGROUP", "0") == "1")
+                  "SKANI_TPU_FUSED_REGROUP", "0") == "1",
+              compact_dp=DevicePairEngine._compact_dp(dev),
+              compact_wide=eng._compact_wide_ok)
 
     sel = os.environ.get("PROFILE_STAGES")
     stages = ([int(x) for x in sel.split(",")] if sel
