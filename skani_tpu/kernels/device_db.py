@@ -205,7 +205,9 @@ class DeviceDb:
                 union = np.unique(np.concatenate(
                     [s.seed_kmers for s in sketches]
                     or [np.zeros(0, np.uint32)]))
-                U = _round_up(max(len(union), 128), 128, 128)
+                # 1024-multiple so the windowed sorted gather's (UB, 128)
+                # sublane view tiles cleanly (UB % 8 == 0)
+                U = _round_up(max(len(union), 1024), 1024, 1024)
             else:
                 union, U = None, 1 << 62
             if union is not None and dense_join_budget \

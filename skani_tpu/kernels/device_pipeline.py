@@ -94,7 +94,8 @@ from .. import stats
 from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .expand_pallas import expand_anchors
-from .gather_pallas import mxu_row_gather
+from .gather_pallas import (mxu_row_gather, mxu_row_scatter,
+                            windowed_sorted_gather)
 
 I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
@@ -170,6 +171,7 @@ def phase_a(db, ab_idx,
 
     assert band < 4096
 
+    join_ovf = jnp.zeros((R,), bool)
     pos_join = join_mode == "dense_pos"
     if pos_join:
         # --- POSITION-AXIS dense join (see device_db.gidp): the per-pair
@@ -193,7 +195,19 @@ def phase_a(db, ab_idx,
         gid_a = db["gid"][a_idx]                      # (R, K)
         valid_k = gid_a >= 0
         U = db["dense_cs"].shape[1]
-        csb = rg(db["dense_cs"][b_idx], jnp.maximum(gid_a, 0))
+        if use_pallas and U % 1024 == 0 and K % 1024 == 0 and 64 <= U // 128:
+            # gid is ASCENDING per row (searchsorted ranks of the sorted
+            # kmer table), so the union-axis gather takes the windowed
+            # kernel (~0.4 ms vs ~7.5 ms full one-hot at U~126k, R=32).
+            # Padding kmers (-1) fill with the row max to stay sorted;
+            # rows whose tile range exceeds the window overflow to the
+            # exact native path (never observed at real kmer densities)
+            gmax = jnp.max(gid_a, axis=1, keepdims=True)
+            idx_sorted = jnp.maximum(jnp.where(valid_k, gid_a, gmax), 0)
+            csb, join_ovf = windowed_sorted_gather(
+                db["dense_cs"][b_idx], idx_sorted)
+        else:
+            csb = rg(db["dense_cs"][b_idx], jnp.maximum(gid_a, 0))
         hit = valid_k & (csb != 0)
         b_cnt_hit = jnp.where(hit, csb >> 17, 0)
         b_start_hit = jnp.where(hit, csb & ((1 << 17) - 1), 0)
@@ -358,9 +372,22 @@ def phase_a(db, ab_idx,
                 # (R, A) bs gather (a full random-access pass) is gone
                 pk = ((pcols.astype(jnp.uint32) << 16)
                       | bs_p.astype(jnp.uint32))
-                fw = jnp.zeros((R, A), jnp.uint32).at[
-                    rowi, jnp.where(emit, offs_p, A)].max(
-                    jnp.where(emit, pk, jnp.uint32(0)), mode="drop")
+                if use_pallas and A % 128 == 0 and P % 2048 == 0 \
+                        and os.environ.get("SKANI_TPU_MXU_SCATTER",
+                                           "1") == "1":
+                    # MXU one-hot scatter (unique targets): measured
+                    # 2.6 ms vs 7.3 ms for the XLA fill+cummax at
+                    # (32, 40960)->(32, 49152).  Bitcast to uint32 so
+                    # the forward-fill cummax compares unsigned (pk's
+                    # top bit is set for pcols >= 32768).
+                    fw_i = mxu_row_scatter(
+                        jnp.where(emit, offs_p, A),
+                        jax.lax.bitcast_convert_type(pk, jnp.int32), A)
+                    fw = jax.lax.bitcast_convert_type(fw_i, jnp.uint32)
+                else:
+                    fw = jnp.zeros((R, A), jnp.uint32).at[
+                        rowi, jnp.where(emit, offs_p, A)].max(
+                        jnp.where(emit, pk, jnp.uint32(0)), mode="drop")
                 fwm = jax.lax.cummax(fw, axis=1)
                 g = jnp.minimum(fwm >> 16, jnp.uint32(P - 1)
                                 ).astype(jnp.int32)
@@ -493,7 +520,7 @@ def phase_a(db, ab_idx,
         & (col_in_chunk < L_CAP)
     overflow = (total > A) | (n_chunks > C_CAP) \
         | jnp.any(anchor_valid & ~ok_place, axis=1) \
-        | seg_overflow | qu_overflow | (expand_ovf > 0)
+        | seg_overflow | qu_overflow | (expand_ovf > 0) | join_ovf
     RC = R * C_CAP
     flat_row = (rowi * C_CAP + jnp.clip(cid, 0, C_CAP - 1)).reshape(-1)
     flat_col = jnp.clip(col_in_chunk, 0, L_CAP - 1).reshape(-1)
@@ -833,7 +860,18 @@ class DevicePairEngine:
         self.db = DeviceDb(self.sketches, device=device, mode=self.gen_mode,
                            dense_join_budget=dense_budget, band=db_band,
                            min_k=min_k, min_p=min_p)
-        if "gidp" in self.db.arrays:
+        dev0 = (device or jax.devices()[0])
+        if "gid" in self.db.arrays and dev0.platform == "tpu" \
+                and self.db.U % 1024 == 0 \
+                and os.environ.get("SKANI_TPU_JOIN", "auto") == "auto":
+            # TPU default since round 3: the kmer-axis join rides the
+            # WINDOWED sorted gather over the union axis (gid ascending)
+            # — ~0.4 ms vs ~7.5 ms for dense_pos's unsorted U-wide
+            # gather; the extra kmer->position mapping gather costs
+            # ~2.7 ms, a net ~4-6 ms/batch win at U ~126k (PERF.md).
+            self.join_mode = "dense"
+        elif "gidp" in self.db.arrays \
+                and os.environ.get("SKANI_TPU_JOIN") != "dense":
             self.join_mode = "dense_pos"
         elif "gid" in self.db.arrays:
             self.join_mode = "dense"

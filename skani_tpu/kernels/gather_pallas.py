@@ -28,6 +28,77 @@ from jax.experimental.pallas import tpu as pltpu
 AT = 1024  # index-tile length
 
 
+def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR):
+    # windowed gather for SORTED per-row indices: each 1024-index tile
+    # spans a narrow table range, so the one-hot matmul runs against a
+    # WB-block window (dynamic sublane slice) instead of all UB blocks.
+    def row(rr, _):
+        ix = i_ref[pl.ds(rr, 1), :]                     # (1, AT)
+        lo_blk = jnp.clip(jnp.min(ix) >> 7, 0, UB - WB)
+        win = t_ref[rr, pl.ds(lo_blk, WB), :]           # (WB, 128)
+        rel = (ix - lo_blk * 128).reshape(AT, 1)
+        hi = rel >> 7
+        lo = rel & 127
+        # out-of-window rel (overflow tiles, flagged by the caller in
+        # XLA) hits no one-hot row and reads as 0 — the caller's per-row
+        # overflow routes those pairs to the exact fallback
+        oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, WB), 1)
+                 ).astype(jnp.bfloat16)
+        oh_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
+                 ).astype(jnp.bfloat16)
+        v = jnp.zeros((AT,), jnp.int32)
+        for p in range(4):
+            plane = ((win >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+            rows = jnp.dot(oh_hi, plane,
+                           preferred_element_type=jnp.float32)
+            vp = jnp.sum(rows * oh_lo, axis=1).astype(jnp.int32)
+            v = v | (vp << (8 * p))
+        o_ref[pl.ds(rr, 1), :] = v.reshape(1, AT)
+        return 0
+
+    jax.lax.fori_loop(0, BR, row, 0)
+
+
+def windowed_sorted_gather(table, idx, WB: int = 64,
+                           interpret: bool = False):
+    """take_along_axis(table, idx, axis=1) for idx NONDECREASING per row.
+
+    Each AT-index tile gathers from a WB*128-wide dynamically-placed
+    window of the table, so cost scales with the tile's index RANGE, not
+    the table width — ~15x less matmul than mxu_row_gather at the dense
+    join's union-axis widths.  Returns (out, ovf) where ovf[r] is True
+    when some tile's range exceeded the window (those rows' values are
+    unreliable; callers must route them to an exact fallback).  The
+    table width must be a multiple of 1024 and >= WB*128; index width a
+    multiple of 1024."""
+    R, U = table.shape
+    _, A = idx.shape
+    assert U % 1024 == 0 and A % AT == 0
+    UB = U // 128
+    assert WB <= UB
+    BR = 8 if R % 8 == 0 else R
+    t3 = table.reshape(R, UB, 128)
+    kern = functools.partial(_wg_kern, UB=UB, WB=WB, BR=BR)
+    out = pl.pallas_call(
+        kern,
+        grid=(R // BR, A // AT),
+        in_specs=[pl.BlockSpec((BR, UB, 128), lambda r, a: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BR, AT), lambda r, a: (r, a),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BR, AT), lambda r, a: (r, a),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, A), jnp.int32),
+        interpret=interpret,
+    )(t3, idx)
+    # per-tile range check in XLA (cheap reductions), mirroring the
+    # kernel's clamped window placement exactly
+    it = idx.reshape(R, A // AT, AT)
+    lo_blk = jnp.clip(jnp.min(it, axis=2) >> 7, 0, UB - WB)
+    ovf = jnp.any((jnp.max(it, axis=2) >> 7) - lo_blk >= WB, axis=1)
+    return out, ovf
+
+
 def _kern(t_ref, i_ref, o_ref, *, KB, BR):
     def body(rr, _):
         tab = t_ref[pl.ds(rr, 1), :].reshape(KB, 128)
@@ -48,6 +119,80 @@ def _kern(t_ref, i_ref, o_ref, *, KB, BR):
         return 0
 
     jax.lax.fori_loop(0, BR, body, 0)
+
+
+def _scat_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR):
+    # one grid step = BR rows.  out[r, idx[r, p]] = val[r, p] for idx in
+    # range, 0 elsewhere.  Per row, decompose out into KB 128-blocks:
+    # out = M1^T @ V with M1[p, b] one-hot of idx>>7 and V[p, l] =
+    # [idx&127 == l] * plane(val) — both single-nonzero per row, so bf16
+    # products (values 0..255) with f32 accumulation are exact, as in the
+    # gather kernel below.
+    def row(rr, _):
+        acc[:] = jnp.zeros_like(acc)
+
+        def chunk(c, _):
+            sl = pl.ds(c * PC, PC)
+            ix = i_ref[rr, sl].reshape(PC, 1)
+            vv = v_ref[rr, sl].reshape(PC, 1)
+            hi = ix >> 7
+            lo = ix & 127
+            m1 = (hi == jax.lax.broadcasted_iota(jnp.int32, (PC, KB), 1)
+                  ).astype(jnp.bfloat16)
+            # bf16 multiply, not a where: Mosaic (2026-08) hits an i1
+            # relayout bug broadcasting a (PC, 1) operand into a
+            # (PC, 128) bool-mask select
+            oh_lo = (lo == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, 128), 1)).astype(jnp.bfloat16)
+
+            def plane(p, _):
+                vp = oh_lo * ((vv >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+                prod = jax.lax.dot_general(
+                    m1, vp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (KB, 128)
+                acc[pl.ds(p * KB, KB), :] += prod
+                return 0
+
+            jax.lax.fori_loop(0, 4, plane, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NC, chunk, 0)
+        v = jnp.zeros((KB, 128), jnp.int32)
+        for p in range(4):
+            v = v | (acc[pl.ds(p * KB, KB), :].astype(jnp.int32)
+                     << (8 * p))
+        o_ref[pl.ds(rr, 1), :] = v.reshape(1, KB * 128)
+        return 0
+
+    jax.lax.fori_loop(0, BR, row, 0)
+
+
+def mxu_row_scatter(idx, vals, K, interpret: bool = False):
+    """out[r, idx[r, p]] = vals[r, p]; zeros elsewhere.  Targets must be
+    unique per row (or >= K to drop).  K a multiple of 128, the source
+    width a multiple of 2048.  The MXU analog of
+    `zeros((R, K)).at[rowi, idx].set(vals, mode="drop")` — measured vs
+    the XLA scatter in scripts/microbench_phasea.py before landing."""
+    R, P = idx.shape
+    assert K % 128 == 0
+    PC = 2048
+    assert P % PC == 0
+    BR = 8 if R % 8 == 0 else R
+    kern = functools.partial(_scat_kern, P=P, KB=K // 128, PC=PC,
+                             NC=P // PC, BR=BR)
+    return pl.pallas_call(
+        kern,
+        grid=(R // BR,),
+        in_specs=[pl.BlockSpec((BR, P), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BR, P), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BR, K), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, K), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4 * (K // 128), 128), jnp.float32)],
+        interpret=interpret,
+    )(idx, vals)
 
 
 def mxu_row_gather(table, idx, interpret: bool = False):

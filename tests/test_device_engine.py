@@ -132,9 +132,14 @@ def test_dense_join_matches_merge_join():
     pairs = [(i, j) for i in range(len(sk)) for j in range(len(sk))
              if i != j]
     old = os.environ.pop("SKANI_TPU_DENSE_JOIN_MB", None)
+    old_join = os.environ.pop("SKANI_TPU_JOIN", None)
     try:
+        # pin the POSITION-axis dense join (the TPU default is the
+        # kmer-axis dense join since the windowed sorted gather landed)
+        os.environ["SKANI_TPU_JOIN"] = "dense_pos"
         eng_d = DevicePairEngine(sk, sp, cp, batch=4, i_cap=128, c_cap=64,
                                  l_cap=512)
+        os.environ.pop("SKANI_TPU_JOIN", None)
         assert eng_d.join_mode == "dense_pos"
         res_d = eng_d.run_pairs(pairs, host_workers=0)
         # global-KMER-axis dense join (the dense_pos fallback when the
@@ -150,8 +155,11 @@ def test_dense_join_matches_merge_join():
         res_m = eng_m.run_pairs(pairs, host_workers=0)
     finally:
         os.environ.pop("SKANI_TPU_DENSE_JOIN_MB", None)
+        os.environ.pop("SKANI_TPU_JOIN", None)
         if old is not None:
             os.environ["SKANI_TPU_DENSE_JOIN_MB"] = old
+        if old_join is not None:
+            os.environ["SKANI_TPU_JOIN"] = old_join
     for (i, j), a, b, c in zip(pairs, res_d, res_m, res_k):
         native = chain_seeds_native(
             sk[i], sk[j], map_params_from_sketch(sk[i], False, cp, None))

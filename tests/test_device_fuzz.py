@@ -102,7 +102,10 @@ def test_device_engine_fuzz_mixed_buckets():
             s[p] = BASES[rng.integers(0, 4, size=nm)]
         sks.append(_mk_sketch([s], sp, f"mb{g}"))
     eng = DevicePairEngine(sks, sp, cp, batch=4, i_cap=256, c_cap=64)
-    assert eng.gen_mode == "sorted_packed" and eng.join_mode == "dense_pos"
+    # TPU default is the kmer-axis dense join (windowed sorted gather);
+    # CPU keeps the position-axis variant — both are the dense join
+    assert eng.gen_mode == "sorted_packed" \
+        and eng.join_mode in ("dense", "dense_pos")
     assert len({eng._bucket_a(i, j) for i in range(5) for j in range(5)
                 if i != j}) >= 2   # really spans buckets
     pairs = [(i, j) for i in range(5) for j in range(5) if i != j]
