@@ -27,6 +27,10 @@ from skani_tpu.kernels.device_pipeline import (DevicePairEngine,  # noqa: E402
 
 STAGE_NAMES = {
     1: "join (searchsorted + hit gathers)",
+    31: "+ expansion fill scatter",
+    32: "+ forward-fill / rank / brow",
+    33: "+ query-side (apk) gather",
+    34: "+ ref-side (bpk) gather",
     3: "+ anchor expansion (fill + pos gathers)",
     4: "+ anchor 5-key sort",
     5: "+ closed-form chunking",

@@ -388,6 +388,8 @@ def phase_a(db, ab_idx,
                     fw = jnp.zeros((R, A), jnp.uint32).at[
                         rowi, jnp.where(emit, offs_p, A)].max(
                         jnp.where(emit, pk, jnp.uint32(0)), mode="drop")
+                if stage == 31:  # expansion: fill scatter only
+                    return _chk(fw)
                 fwm = jax.lax.cummax(fw, axis=1)
                 g = jnp.minimum(fwm >> 16, jnp.uint32(P - 1)
                                 ).astype(jnp.int32)
@@ -406,10 +408,16 @@ def phase_a(db, ab_idx,
             if bs is None:
                 bs = rg(bs_p, g)
             brow = jnp.clip(bs + rank, 0, P - 1)
+            if stage == 32:  # expansion: + forward-fill, rank, brow
+                return _chk(g, bs, brow)
             if gen_mode == "sorted_packed":
                 # ONE gather per side: positions pre-packed ctgc<<24 | pos
                 aw = rg(db["apk"][a_idx], g)
+                if stage == 33:  # expansion: + query-side gather
+                    return _chk(aw)
                 bw = rg(db["bpk"][b_idx], brow)
+                if stage == 34:  # expansion: + ref-side gather
+                    return _chk(bw)
                 qp_r = aw & 0xFFFFFF
                 qcc = (aw >> 24) & 0xFF
                 rp_r = bw & 0xFFFFFF
