@@ -411,8 +411,22 @@ def phase_a(db, ab_idx,
             if stage == 32:  # expansion: + forward-fill, rank, brow
                 return _chk(g, bs, brow)
             if gen_mode == "sorted_packed":
-                # ONE gather per side: positions pre-packed ctgc<<24 | pos
-                aw = rg(db["apk"][a_idx], g)
+                # ONE gather per side: positions pre-packed ctgc<<24 | pos.
+                # g is a cummax forward-fill => NONDECREASING per row, so
+                # the query-side gather takes the windowed kernel when the
+                # shapes allow (microbench: 1.9 ms vs 8.5 ms MXU one-hot
+                # at (32, 40960) x (32, 49152)).  Sparse-hit pairs whose
+                # 1024-anchor tile spans more than WB*128 positions set
+                # the per-row overflow and ride the exact native fallback
+                # (never hit on screened-in pairs at default presets).
+                apk_wb = int(os.environ.get("SKANI_TPU_APK_WB", "64"))
+                if use_pallas and apk_wb > 0 and P % 1024 == 0 \
+                        and A % 1024 == 0 and P >= apk_wb * 128:
+                    aw, apk_ovf = windowed_sorted_gather(
+                        db["apk"][a_idx], g, WB=apk_wb)
+                    join_ovf = join_ovf | apk_ovf
+                else:
+                    aw = rg(db["apk"][a_idx], g)
                 if stage == 33:  # expansion: + query-side gather
                     return _chk(aw)
                 bw = rg(db["bpk"][b_idx], brow)
