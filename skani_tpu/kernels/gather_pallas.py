@@ -17,6 +17,7 @@ expansion; falls back to the XLA flat gather off-TPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -28,7 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 AT = 1024  # index-tile length
 
 
-def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR):
+def _use_i8() -> bool:
+    """int8 plane matmuls (v5e MXU runs int8 x int8 -> int32 at 2x the
+    bf16 rate).  A byte plane re-read as SIGNED int8 is still exact: each
+    one-hot row/column contributes at most ONE nonzero product, so the
+    signed value never mixes with another and `& 0xFF` recovers the
+    original byte bit pattern.  Round-3 hardware A/B
+    (scripts/microbench_int8.py): exact, ~0.4 ms/gather faster at
+    production shapes (the one-hot build, not the matmul, dominates);
+    SKANI_TPU_ONEHOT_I8=0 restores bf16."""
+    return os.environ.get("SKANI_TPU_ONEHOT_I8", "1") == "1"
+
+
+def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR, i8):
     # windowed gather for SORTED per-row indices: each 1024-index tile
     # spans a narrow table range, so the one-hot matmul runs against a
     # WB-block window (dynamic sublane slice) instead of all UB blocks.
@@ -42,17 +55,19 @@ def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR):
         # out-of-window rel (overflow tiles, flagged by the caller in
         # XLA) hits no one-hot row and reads as 0 — the caller's per-row
         # overflow routes those pairs to the exact fallback
+        pt = jnp.int8 if i8 else jnp.bfloat16
         oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, WB), 1)
-                 ).astype(jnp.bfloat16)
-        oh_lo = (lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
-                 ).astype(jnp.bfloat16)
+                 ).astype(pt)
+        oh_lo = lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
         v = jnp.zeros((AT,), jnp.int32)
         for p in range(4):
-            plane = ((win >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+            plane = ((win >> (8 * p)) & 0xFF).astype(pt)
             rows = jnp.dot(oh_hi, plane,
-                           preferred_element_type=jnp.float32)
-            vp = jnp.sum(rows * oh_lo, axis=1).astype(jnp.int32)
-            v = v | (vp << (8 * p))
+                           preferred_element_type=(jnp.int32 if i8
+                                                   else jnp.float32))
+            vp = jnp.sum(jnp.where(oh_lo, rows, rows.dtype.type(0)),
+                         axis=1).astype(jnp.int32)
+            v = v | ((vp & 0xFF if i8 else vp) << (8 * p))
         o_ref[pl.ds(rr, 1), :] = v.reshape(1, AT)
         return 0
 
@@ -78,7 +93,7 @@ def windowed_sorted_gather(table, idx, WB: int = 64,
     assert WB <= UB
     BR = 8 if R % 8 == 0 else R
     t3 = table.reshape(R, UB, 128)
-    kern = functools.partial(_wg_kern, UB=UB, WB=WB, BR=BR)
+    kern = functools.partial(_wg_kern, UB=UB, WB=WB, BR=BR, i8=_use_i8())
     out = pl.pallas_call(
         kern,
         grid=(R // BR, A // AT),
@@ -99,35 +114,40 @@ def windowed_sorted_gather(table, idx, WB: int = 64,
     return out, ovf
 
 
-def _kern(t_ref, i_ref, o_ref, *, KB, BR):
+def _kern(t_ref, i_ref, o_ref, *, KB, BR, i8):
     def body(rr, _):
         tab = t_ref[pl.ds(rr, 1), :].reshape(KB, 128)
         ix = i_ref[pl.ds(rr, 1), :].reshape(AT, 1)
         hi = ix >> 7
         lo = ix & 127
+        pt = jnp.int8 if i8 else jnp.bfloat16
         oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, KB), 1)
-                 ).astype(jnp.bfloat16)
+                 ).astype(pt)
         oh_lo = lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
         v = jnp.zeros((AT,), jnp.int32)
         for p in range(4):
-            plane = ((tab >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
-            rows = jnp.dot(oh_hi, plane, preferred_element_type=jnp.float32)
-            vp = jnp.sum(jnp.where(oh_lo, rows, 0.0), axis=1
-                         ).astype(jnp.int32)
-            v = v | (vp << (8 * p))
+            plane = ((tab >> (8 * p)) & 0xFF).astype(pt)
+            rows = jnp.dot(oh_hi, plane,
+                           preferred_element_type=(jnp.int32 if i8
+                                                   else jnp.float32))
+            vp = jnp.sum(jnp.where(oh_lo, rows, rows.dtype.type(0)),
+                         axis=1).astype(jnp.int32)
+            v = v | ((vp & 0xFF if i8 else vp) << (8 * p))
         o_ref[pl.ds(rr, 1), :] = v.reshape(1, AT)
         return 0
 
     jax.lax.fori_loop(0, BR, body, 0)
 
 
-def _scat_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR):
+def _scat_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR, i8):
     # one grid step = BR rows.  out[r, idx[r, p]] = val[r, p] for idx in
     # range, 0 elsewhere.  Per row, decompose out into KB 128-blocks:
     # out = M1^T @ V with M1[p, b] one-hot of idx>>7 and V[p, l] =
     # [idx&127 == l] * plane(val) — both single-nonzero per row, so bf16
-    # products (values 0..255) with f32 accumulation are exact, as in the
-    # gather kernel below.
+    # (or signed-int8, see _use_i8) products with f32/int32 accumulation
+    # are exact, as in the gather kernel below.
+    pt = jnp.int8 if i8 else jnp.bfloat16
+
     def row(rr, _):
         acc[:] = jnp.zeros_like(acc)
 
@@ -138,18 +158,25 @@ def _scat_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR):
             hi = ix >> 7
             lo = ix & 127
             m1 = (hi == jax.lax.broadcasted_iota(jnp.int32, (PC, KB), 1)
-                  ).astype(jnp.bfloat16)
-            # bf16 multiply, not a where: Mosaic (2026-08) hits an i1
+                  ).astype(pt)
+            # plane multiply, not a where: Mosaic (2026-08) hits an i1
             # relayout bug broadcasting a (PC, 1) operand into a
-            # (PC, 128) bool-mask select
+            # (PC, 128) bool-mask select.  The mask product runs in int32
+            # (Mosaic cannot legalize an int8 elementwise muli) and casts
+            # down — one-hot x byte fits int8 (the one-hot factor is 0/1,
+            # and the signed-byte wrap is undone by the final & 0xFF).
             oh_lo = (lo == jax.lax.broadcasted_iota(
-                jnp.int32, (PC, 128), 1)).astype(jnp.bfloat16)
+                jnp.int32, (PC, 128), 1)).astype(jnp.int32 if i8 else pt)
 
             def plane(p, _):
-                vp = oh_lo * ((vv >> (8 * p)) & 0xFF).astype(jnp.bfloat16)
+                if i8:
+                    vp = (oh_lo * ((vv >> (8 * p)) & 0xFF)).astype(pt)
+                else:
+                    vp = oh_lo * ((vv >> (8 * p)) & 0xFF).astype(pt)
                 prod = jax.lax.dot_general(
                     m1, vp, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)      # (KB, 128)
+                    preferred_element_type=(jnp.int32 if i8
+                                            else jnp.float32))  # (KB, 128)
                 acc[pl.ds(p * KB, KB), :] += prod
                 return 0
 
@@ -159,8 +186,8 @@ def _scat_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR):
         jax.lax.fori_loop(0, NC, chunk, 0)
         v = jnp.zeros((KB, 128), jnp.int32)
         for p in range(4):
-            v = v | (acc[pl.ds(p * KB, KB), :].astype(jnp.int32)
-                     << (8 * p))
+            vp = acc[pl.ds(p * KB, KB), :].astype(jnp.int32)
+            v = v | ((vp & 0xFF if i8 else vp) << (8 * p))
         o_ref[pl.ds(rr, 1), :] = v.reshape(1, KB * 128)
         return 0
 
@@ -178,8 +205,9 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False):
     PC = 2048
     assert P % PC == 0
     BR = 8 if R % 8 == 0 else R
+    i8 = _use_i8()
     kern = functools.partial(_scat_kern, P=P, KB=K // 128, PC=PC,
-                             NC=P // PC, BR=BR)
+                             NC=P // PC, BR=BR, i8=i8)
     return pl.pallas_call(
         kern,
         grid=(R // BR,),
@@ -190,7 +218,8 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False):
         out_specs=pl.BlockSpec((BR, K), lambda r: (r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, K), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((4 * (K // 128), 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((4 * (K // 128), 128),
+                                   jnp.int32 if i8 else jnp.float32)],
         interpret=interpret,
     )(idx, vals)
 
@@ -205,7 +234,7 @@ def mxu_row_gather(table, idx, interpret: bool = False):
     assert K % 128 == 0 and A % AT == 0
     BR = 8 if R % 8 == 0 else R
     assert R % BR == 0
-    kern = functools.partial(_kern, KB=K // 128, BR=BR)
+    kern = functools.partial(_kern, KB=K // 128, BR=BR, i8=_use_i8())
     return pl.pallas_call(
         kern,
         grid=(R // BR, A // AT),
