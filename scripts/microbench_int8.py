@@ -1,15 +1,16 @@
 #!/usr/bin/env python3
-"""int8-MXU one-hot gather/scatter probe.
+"""int8-MXU one-hot gather/scatter A/B probe — ALL THREE kernels.
 
 The one-hot kernels in kernels/gather_pallas.py run their plane matmuls
-in bf16 (exact for byte planes, f32 accumulation).  v5e's MXU executes
-int8 x int8 -> int32 at 2x the bf16 rate, and one-hot rows have a single
-nonzero, so a SIGNED byte plane is recoverable exactly with `& 0xFF`
-after the product — if Mosaic lowers the int8 dot at all.  This probe
-measures bf16 vs int8 variants of the row gather at production shapes
-before any kernel is changed.
+either in bf16 (exact for byte planes, f32 accumulation) or int8 (v5e's
+MXU executes int8 x int8 -> int32 at 2x the bf16 rate; a SIGNED byte
+plane is recoverable exactly with `& 0xFF` because one-hot rows have a
+single nonzero).  This probe A/Bs bf16 vs int8 for mxu_row_gather,
+mxu_row_scatter AND windowed_sorted_gather at production shapes, with
+exactness checks against NumPy on each leg.  The precision is pinned
+explicitly via each kernel's `i8=` parameter, so the ambient
+SKANI_TPU_ONEHOT_I8 env value cannot skew the comparison.
 """
-import functools
 import os
 import sys
 import time
@@ -21,10 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from skani_tpu.kernels.gather_pallas import AT, mxu_row_gather
+from skani_tpu.kernels.gather_pallas import (mxu_row_gather,
+                                             mxu_row_scatter,
+                                             windowed_sorted_gather)
 
 R = int(os.environ.get("MB_R", "32"))
 K = int(os.environ.get("MB_K", "40960"))
@@ -43,46 +44,18 @@ def bench(fn, *args, reps=7):
     return 1e3 * best
 
 
-def _kern_i8(t_ref, i_ref, o_ref, *, KB, BR):
-    def body(rr, _):
-        tab = t_ref[pl.ds(rr, 1), :].reshape(KB, 128)
-        ix = i_ref[pl.ds(rr, 1), :].reshape(AT, 1)
-        hi = ix >> 7
-        lo = ix & 127
-        oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, KB), 1)
-                 ).astype(jnp.int8)
-        oh_lo = lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
-        v = jnp.zeros((AT,), jnp.int32)
-        for p in range(4):
-            # signed byte plane: exact per one-hot row after & 0xFF
-            plane = ((tab >> (8 * p)) & 0xFF).astype(jnp.int8)
-            rows = jax.lax.dot_general(
-                oh_hi, plane, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            vp = jnp.sum(jnp.where(oh_lo, rows, 0), axis=1) & 0xFF
-            v = v | (vp << (8 * p))
-        o_ref[pl.ds(rr, 1), :] = v.reshape(1, AT)
-        return 0
-
-    jax.lax.fori_loop(0, BR, body, 0)
-
-
-def mxu_row_gather_i8(table, idx):
-    Rr, Kk = table.shape
-    _, Aa = idx.shape
-    BR = 8 if Rr % 8 == 0 else Rr
-    kern = functools.partial(_kern_i8, KB=Kk // 128, BR=BR)
-    return pl.pallas_call(
-        kern,
-        grid=(Rr // BR, Aa // AT),
-        in_specs=[pl.BlockSpec((BR, Kk), lambda r, a: (r, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((BR, AT), lambda r, a: (r, a),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((BR, AT), lambda r, a: (r, a),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Rr, Aa), jnp.int32),
-    )(table, idx)
+def ab(name, fn, args, want):
+    for i8 in (False, True):
+        tag = "int8" if i8 else "bf16"
+        try:
+            got = fn(*args, i8=i8)
+            got0 = np.asarray(jax.tree_util.tree_leaves(got)[0])
+            ok = "exact" if np.array_equal(want, got0) else "MISMATCH"
+            t = bench(jax.jit(lambda *a, _i8=i8: fn(*a, i8=_i8)), *args)
+            print(f"{name} [{tag}]: {t:.2f} ms [{ok}]")
+        except Exception as e:
+            print(f"{name} [{tag}]: FAILED {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:200]}")
 
 
 def main():
@@ -94,20 +67,29 @@ def main():
     table_np = rng.integers(-(1 << 31), 1 << 31, (R, K),
                             dtype=np.int64).astype(np.int32)
     idx_np = rng.integers(0, K, (R, A)).astype(np.int32)
-    ref = np.take_along_axis(table_np, idx_np, axis=1)
     table, idx = put(table_np), put(idx_np)
+    ab("row gather   ", mxu_row_gather, (table, idx),
+       np.take_along_axis(table_np, idx_np, axis=1))
 
-    t = bench(jax.jit(mxu_row_gather), table, idx)
-    print(f"bf16 one-hot gather: {t:.2f} ms")
+    # scatter: unique in-range targets per row + out-of-range drops
+    SK = 8192
+    sidx_np = np.stack([rng.permutation(4 * SK)[:A] for _ in range(R)]) \
+        .astype(np.int32)
+    svals_np = rng.integers(-(1 << 31), 1 << 31, (R, A),
+                            dtype=np.int64).astype(np.int32)
+    want = np.zeros((R, SK), np.int32)
+    for r in range(R):
+        ok = sidx_np[r] < SK
+        want[r, sidx_np[r][ok]] = svals_np[r][ok]
+    ab("row scatter  ", lambda i, v, i8: mxu_row_scatter(i, v, SK, i8=i8),
+       (put(sidx_np), put(svals_np)), want)
 
-    try:
-        got = np.asarray(mxu_row_gather_i8(table, idx))
-        ok = "exact" if np.array_equal(ref, got) else "MISMATCH"
-        t = bench(jax.jit(mxu_row_gather_i8), table, idx)
-        print(f"int8 one-hot gather: {t:.2f} ms [{ok}]")
-    except Exception as e:
-        print(f"int8 one-hot gather: FAILED {type(e).__name__}: "
-              f"{str(e).splitlines()[0][:200]}")
+    # windowed sorted gather: per-row sorted indices within a WB window
+    WB = 64
+    widx_np = np.sort(idx_np % (WB * 128), axis=1).astype(np.int32)
+    ab("windowed gthr", lambda t, i, i8: windowed_sorted_gather(
+        t, i, WB=WB, i8=i8)[0], (table, put(widx_np)),
+       np.take_along_axis(table_np, widx_np, axis=1))
 
 
 if __name__ == "__main__":

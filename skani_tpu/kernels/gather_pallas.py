@@ -34,11 +34,16 @@ def _use_i8() -> bool:
     bf16 rate).  A byte plane re-read as SIGNED int8 is still exact: each
     one-hot row/column contributes at most ONE nonzero product, so the
     signed value never mixes with another and `& 0xFF` recovers the
-    original byte bit pattern.  Round-3 hardware A/B
-    (scripts/microbench_int8.py): exact, ~0.4 ms/gather faster at
-    production shapes (the one-hot build, not the matmul, dominates);
-    SKANI_TPU_ONEHOT_I8=0 restores bf16."""
+    original byte bit pattern.  Hardware A/B covering ALL THREE kernels
+    (scripts/microbench_int8.py, PERF.md round-4 table): exact on gather,
+    scatter and windowed gather; the win is small (the one-hot build, not
+    the matmul, dominates) but real.  SKANI_TPU_ONEHOT_I8=0 restores bf16;
+    each kernel also takes an explicit `i8=` override for A/B tests."""
     return os.environ.get("SKANI_TPU_ONEHOT_I8", "1") == "1"
+
+
+def _resolve_i8(i8) -> bool:
+    return _use_i8() if i8 is None else bool(i8)
 
 
 def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR, i8):
@@ -75,7 +80,7 @@ def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR, i8):
 
 
 def windowed_sorted_gather(table, idx, WB: int = 64,
-                           interpret: bool = False):
+                           interpret: bool = False, i8=None):
     """take_along_axis(table, idx, axis=1) for idx NONDECREASING per row.
 
     Each AT-index tile gathers from a WB*128-wide dynamically-placed
@@ -93,7 +98,8 @@ def windowed_sorted_gather(table, idx, WB: int = 64,
     assert WB <= UB
     BR = 8 if R % 8 == 0 else R
     t3 = table.reshape(R, UB, 128)
-    kern = functools.partial(_wg_kern, UB=UB, WB=WB, BR=BR, i8=_use_i8())
+    kern = functools.partial(_wg_kern, UB=UB, WB=WB, BR=BR,
+                             i8=_resolve_i8(i8))
     out = pl.pallas_call(
         kern,
         grid=(R // BR, A // AT),
@@ -194,7 +200,7 @@ def _scat_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR, i8):
     jax.lax.fori_loop(0, BR, row, 0)
 
 
-def mxu_row_scatter(idx, vals, K, interpret: bool = False):
+def mxu_row_scatter(idx, vals, K, interpret: bool = False, i8=None):
     """out[r, idx[r, p]] = vals[r, p]; zeros elsewhere.  Targets must be
     unique per row (or >= K to drop).  K a multiple of 128, the source
     width a multiple of 2048.  The MXU analog of
@@ -205,7 +211,7 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False):
     PC = 2048
     assert P % PC == 0
     BR = 8 if R % 8 == 0 else R
-    i8 = _use_i8()
+    i8 = _resolve_i8(i8)
     kern = functools.partial(_scat_kern, P=P, KB=K // 128, PC=PC,
                              NC=P // PC, BR=BR, i8=i8)
     return pl.pallas_call(
@@ -224,7 +230,7 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False):
     )(idx, vals)
 
 
-def mxu_row_gather(table, idx, interpret: bool = False):
+def mxu_row_gather(table, idx, interpret: bool = False, i8=None):
     """take_along_axis(table, idx, axis=1) on the MXU.  Requires the table
     width to be a multiple of 128 and the index width a multiple of 1024
     (both hold for DeviceDb's 4096-padded tensors); indices must be in
@@ -234,7 +240,7 @@ def mxu_row_gather(table, idx, interpret: bool = False):
     assert K % 128 == 0 and A % AT == 0
     BR = 8 if R % 8 == 0 else R
     assert R % BR == 0
-    kern = functools.partial(_kern, KB=K // 128, BR=BR, i8=_use_i8())
+    kern = functools.partial(_kern, KB=K // 128, BR=BR, i8=_resolve_i8(i8))
     return pl.pallas_call(
         kern,
         grid=(R // BR, A // AT),

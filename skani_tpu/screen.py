@@ -29,11 +29,30 @@ def check_markers_quickly(ref_sketch, query_sketch, screen_val: float,
     ratio = int(screen_val ** k * min_card)
     if ratio == 0:
         ratio = 1
-    # both marker arrays are sorted unique
+    # Both marker arrays are sorted unique.  Mirror the reference's early
+    # exit (reference: src/screen.rs:131-137 breaks once intersect_len >=
+    # ratio): scan the smaller array in growing chunks and stop as soon as
+    # the verdict is decided either way (the extra early-False exit cannot
+    # change the boolean — the remaining elements can't reach ratio).
     a, b = ref_sketch.marker_seeds, query_sketch.marker_seeds
     if len(a) > len(b):
         a, b = b, a
-    inter = int(np.isin(a, b, assume_unique=True).sum())
+    inter = 0
+    start = 0
+    n = len(a)
+    chunk = max(256, 2 * ratio)
+    while start < n:
+        end = min(n, start + chunk)
+        seg = a[start:end]
+        idx = np.searchsorted(b, seg)
+        idx = np.minimum(idx, len(b) - 1)
+        inter += int((b[idx] == seg).sum())
+        if inter >= ratio:
+            return True
+        start = end
+        if inter + (n - start) < ratio:
+            return False
+        chunk *= 4
     return inter >= ratio
 
 
