@@ -135,6 +135,11 @@ class MultiHostPairFleet:
         self.pid = jax.process_index()
         devices = sorted(jax.devices(), key=lambda d: d.id)
         self.n_dev = len(devices)
+        self.n_procs = jax.process_count()
+        # process owning each device — every process derives the SAME
+        # table, so per-process owned-pair counts (hence the compacted
+        # merge shape) are globally known without a counts round-trip
+        self.proc_of_dev = [d.process_index for d in devices]
         # ownership: global-DB index when the caller tagged the sketch
         # (search windows — non-owned refs may be marker-only stubs whose
         # seeds live on the owning host), else the list position
@@ -195,20 +200,48 @@ class MultiHostPairFleet:
 
         if jax.process_count() == 1:
             return out
-        plane = pack_results(out)
+
+        # OWNER-COMPACTED merge: each process ships only the rows it
+        # owns ([mask | pair_index | numeric fields] per owned pair),
+        # padded to the fleet-wide max owned count — which every process
+        # derives locally from the deterministic ownership layout, so the
+        # merge is ONE allgather of (max_owned, 18) instead of the dense
+        # (n_pairs, 17) plane from every process (byte volume scales with
+        # owned pairs, ~1/n_procs of the dense plane at balanced loads).
+        owner_proc = np.array(
+            [self.proc_of_dev[self.owner_dev[rg]] for rg, _qg in pairs],
+            dtype=np.int64)
+        counts = np.bincount(owner_proc, minlength=self.n_procs)
+        width = max(int(counts.max()), 1) if len(pairs) else 1
+        mine = np.nonzero(owner_proc == self.pid)[0]
+        plane = np.zeros((width, 2 + len(RESULT_FIELDS)), dtype=np.float64)
+        row = 0
+        for t in mine:
+            r = out[t]
+            if r is None:
+                continue
+            plane[row, 0] = 1.0
+            plane[row, 1] = float(t)   # exact for any practical n_pairs
+            for f, name in enumerate(RESULT_FIELDS):
+                plane[row, 2 + f] = float(getattr(r, name))
+            row += 1
+        self._last_merge_plane_shape = plane.shape  # observability/tests
         gathered = np.asarray(multihost_utils.process_allgather(plane))
         merged = out
-        for t in range(len(pairs)):
-            if merged[t] is not None:
+        for p in range(gathered.shape[0]):
+            if p == self.pid:
                 continue
-            rows = gathered[:, t, :]
-            owner_rows = np.nonzero(rows[:, 0] == 1.0)[0]
-            if len(owner_rows) == 0:
+            rows = gathered[p]
+            for row in rows[rows[:, 0] == 1.0]:
+                t = int(row[1])
+                if merged[t] is not None:
+                    continue
+                rg, qg = pairs[t]
+                merged[t] = unpack_result(row[1:], self.refs[rg],
+                                          self.queries[qg], self.aai)
+        for t in range(len(pairs)):
+            if merged[t] is None:
                 r = AniEstResult()
                 r.ani = float("nan")
                 merged[t] = r
-                continue
-            rg, qg = pairs[t]
-            merged[t] = unpack_result(rows[owner_rows[0]], self.refs[rg],
-                                      self.queries[qg], self.aai)
         return merged
