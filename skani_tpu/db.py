@@ -21,7 +21,7 @@ from __future__ import annotations
 import mmap
 import os
 import struct
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -33,37 +33,81 @@ _PAIR_DT = np.dtype({"names": ["k", "v"], "formats": ["<u4", "<u8"],
 _SEEDPOS_DT = np.dtype([("pos", "<u4"), ("cic", "<u4")])
 
 
+class CorruptDbError(IOError):
+    """A sketch file / database failed structural validation (truncated,
+    bit-flipped, or not a sketch file at all).  The reference hard-errors
+    with a clean message in this case (src/search.rs:92-95,
+    src/file_io.rs:703-709); callers convert this into that behavior
+    instead of leaking an arbitrary struct/numpy traceback."""
+
+
 class _Reader:
-    def __init__(self, buf, off: int = 0):
+    """Bounds-checked cursor over bytes/mmap.  Every read validates
+    against the buffer end (and an optional blob-local `end` for
+    consolidated-DB entries) so corrupt length fields fail fast with
+    CorruptDbError rather than over-reading into a neighboring blob or
+    raising an arbitrary low-level exception."""
+
+    def __init__(self, buf, off: int = 0, end: Optional[int] = None):
         self.buf = buf
         self.off = off
+        self.end = len(buf) if end is None else min(end, len(buf))
+
+    def _need(self, n: int):
+        if n < 0 or self.off + n > self.end:
+            raise CorruptDbError(
+                f"truncated or corrupt sketch data: need {n} bytes at "
+                f"offset {self.off}, only {self.end - self.off} available")
 
     def u64(self) -> int:
+        self._need(8)
         v = struct.unpack_from("<Q", self.buf, self.off)[0]
         self.off += 8
         return v
 
     def u32(self) -> int:
+        self._need(4)
         v = struct.unpack_from("<I", self.buf, self.off)[0]
         self.off += 4
         return v
 
     def u8(self) -> int:
+        self._need(1)
         v = self.buf[self.off]
         self.off += 1
         return v
 
     def raw(self, n: int) -> bytes:
+        self._need(n)
         v = bytes(self.buf[self.off:self.off + n])
         self.off += n
         return v
 
-    def string(self) -> str:
+    def vec_len(self, min_itemsize: int) -> int:
+        """u64 element count with a plausibility bound: n elements of at
+        least min_itemsize bytes each must fit in the remaining buffer —
+        rejects bit-flipped counts before they drive huge Python loops or
+        allocations."""
         n = self.u64()
-        return self.raw(n).decode("utf-8")
+        if n * min_itemsize > self.end - self.off:
+            raise CorruptDbError(
+                f"corrupt sketch data: element count {n} at offset "
+                f"{self.off - 8} exceeds remaining "
+                f"{self.end - self.off} bytes")
+        return n
+
+    def string(self) -> str:
+        n = self.vec_len(1)
+        try:
+            return self.raw(n).decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise CorruptDbError(
+                f"corrupt sketch data: invalid utf-8 string at offset "
+                f"{self.off - n}") from e
 
     def np_view(self, dtype, count: int) -> np.ndarray:
         nbytes = dtype.itemsize * count
+        self._need(nbytes)
         arr = np.frombuffer(self.buf, dtype=dtype, count=count,
                             offset=self.off)
         self.off += nbytes
@@ -96,11 +140,11 @@ def _read_sketch(r: _Reader) -> Sketch:
         pairs = r.np_view(_PAIR_DT, n)
         kmers = pairs["k"]
         tagged = pairs["v"]
-    n_multi = r.u64()
+    n_multi = r.vec_len(8)
     for _ in range(n_multi):
         m = r.u64()
         multi.append(r.np_view(_SEEDPOS_DT, m))
-    n_ctg = r.u64()
+    n_ctg = r.vec_len(8)
     sk.contigs = [r.string() for _ in range(n_ctg)]
     sk.total_sequence_length = r.u64()
     n = r.u64()
@@ -128,6 +172,11 @@ def _read_sketch(r: _Reader) -> Sketch:
         out_pos.append(s_pos[single])
         out_cic.append(s_cic[single])
         midx = payload[~single].astype(np.int64)
+        if len(midx) and (midx.max(initial=-1) >= len(multi)
+                          or midx.min(initial=0) < 0):
+            raise CorruptDbError(
+                "corrupt sketch data: tagged index references "
+                "multi-position storage out of range")
         mk = kmers[~single]
         for i in range(len(midx)):
             mv = multi[midx[i]]
@@ -245,14 +294,40 @@ def serialize_sketch(params: SketchParams, sk: Sketch,
     return w.getvalue()
 
 
+class _corrupt_guard:
+    """Context manager converting any residual low-level parse exception
+    (struct/numpy/index arithmetic on adversarial bytes) into a clean
+    CorruptDbError naming the file — the reference-style hard error
+    (src/search.rs:92-95) instead of an arbitrary traceback."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None or issubclass(et, CorruptDbError):
+            if et is not None:
+                ev.args = (f"{self.path}: {ev}",)
+            return False
+        if issubclass(et, (struct.error, ValueError, IndexError, KeyError,
+                           OverflowError, MemoryError, UnicodeDecodeError)):
+            raise CorruptDbError(
+                f"{self.path} is not a valid sketch file or is corrupted "
+                f"({et.__name__}: {ev})") from ev
+        return False
+
+
 def read_sketch_file(path: str) -> Tuple[SketchParams, Sketch]:
     """Read one bincode (SketchParams, Sketch) file
     (reference: src/file_io.rs:680-718)."""
     with open(path, "rb") as f:
         buf = f.read()
-    r = _Reader(buf)
-    params = _read_sketch_params(r)
-    sk = _read_sketch(r)
+    with _corrupt_guard(path):
+        r = _Reader(buf)
+        params = _read_sketch_params(r)
+        sk = _read_sketch(r)
     return params, sk
 
 
@@ -269,6 +344,11 @@ def read_sketch_file_legacy(path: str) -> Tuple[SketchParams, Sketch]:
     multi_position_storage / individual_contig fields."""
     with open(path, "rb") as f:
         buf = f.read()
+    with _corrupt_guard(path):
+        return _read_sketch_file_legacy(buf)
+
+
+def _read_sketch_file_legacy(buf) -> Tuple[SketchParams, Sketch]:
     r = _Reader(buf)
     params = _read_sketch_params(r)
     sk = Sketch()
@@ -276,7 +356,7 @@ def read_sketch_file_legacy(path: str) -> Tuple[SketchParams, Sketch]:
     has_seeds = r.u8()
     allk = allp = allc = allcan = None
     if has_seeds:
-        n = r.u64()
+        n = r.vec_len(12)   # >= u32 kmer + u64 count per entry
         ks, ps, cs, cans = [], [], [], []
         dt = np.dtype({"names": ["pos", "canon", "ctg", "phase"],
                        "formats": ["<u4", "u1", "<u4", "u1"],
@@ -293,7 +373,7 @@ def read_sketch_file_legacy(path: str) -> Tuple[SketchParams, Sketch]:
         allp = np.concatenate(ps)
         allc = np.concatenate(cs)
         allcan = np.concatenate(cans)
-    n_ctg = r.u64()
+    n_ctg = r.vec_len(8)
     sk.contigs = [r.string() for _ in range(n_ctg)]
     sk.total_sequence_length = r.u64()
     n = r.u64()
@@ -328,9 +408,11 @@ def sketches_from_sketch(paths: List[str]):
         try:
             params, sk = read_sketch_file(p)
             out.append(sk)
-        except Exception:
-            raise IOError(
-                f"{p} is not a valid .sketch file or is corrupted.")
+        except CorruptDbError:
+            raise
+        except Exception as e:
+            raise CorruptDbError(
+                f"{p} is not a valid .sketch file or is corrupted.") from e
     out.sort(key=lambda s: s.file_name)
     return params, out
 
@@ -339,10 +421,11 @@ def read_markers_bin(path: str) -> Tuple[SketchParams, List[Sketch]]:
     """reference: src/file_io.rs:720-729 — bincode (SketchParams, Vec<Sketch>)."""
     with open(path, "rb") as f:
         buf = f.read()
-    r = _Reader(buf)
-    params = _read_sketch_params(r)
-    n = r.u64()
-    sketches = [_read_sketch(r) for _ in range(n)]
+    with _corrupt_guard(path):
+        r = _Reader(buf)
+        params = _read_sketch_params(r)
+        n = r.vec_len(8)
+        sketches = [_read_sketch(r) for _ in range(n)]
     return params, sketches
 
 
@@ -388,23 +471,37 @@ class SketchDbReader:
     """mmap-backed lazy reader (reference: src/sketch_db.rs:84-139)."""
 
     def __init__(self, database_dir: str):
-        with open(os.path.join(database_dir, "index.db"), "rb") as f:
-            r = _Reader(f.read())
-        n = r.u64()
-        self.index = []
-        for _ in range(n):
-            _name = r.string()
-            off = r.u64()
-            length = r.u64()
-            self.index.append((off, length))
-        self._file = open(os.path.join(database_dir, "sketches.db"), "rb")
+        index_path = os.path.join(database_dir, "index.db")
+        db_path = os.path.join(database_dir, "sketches.db")
+        with open(index_path, "rb") as f:
+            raw = f.read()
+        db_size = os.path.getsize(db_path)
+        with _corrupt_guard(index_path):
+            r = _Reader(raw)
+            n = r.vec_len(24)   # name len u64 + offset u64 + length u64
+            self.index = []
+            for _ in range(n):
+                _name = r.string()
+                off = r.u64()
+                length = r.u64()
+                if off + length > db_size:
+                    raise CorruptDbError(
+                        f"index entry ({off}, {length}) exceeds "
+                        f"sketches.db size {db_size} — truncated or "
+                        f"mismatched database")
+                self.index.append((off, length))
+        self._db_path = db_path
+        self._file = open(db_path, "rb")
         self.mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
 
     def get_sketch(self, i: int) -> Tuple[SketchParams, Sketch]:
         off, length = self.index[i]
-        r = _Reader(self.mmap, off)
-        params = _read_sketch_params(r)
-        sk = _read_sketch(r)
+        with _corrupt_guard(f"{self._db_path}[entry {i}]"):
+            # blob-local end: a corrupt length field inside the blob can
+            # never read into (or parse across) the neighboring sketch
+            r = _Reader(self.mmap, off, end=off + length)
+            params = _read_sketch_params(r)
+            sk = _read_sketch(r)
         return params, sk
 
     def __len__(self):

@@ -616,7 +616,13 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
                   "folder was generated by `skani-tpu sketch`.")
         raise SystemExit(1)
 
-    sketch_params, ref_sketches = db.read_markers_bin(ref_marker_file)
+    # corrupt/truncated databases hard-error with a clean message, like
+    # the reference (src/search.rs:92-95), instead of a raw traceback
+    try:
+        sketch_params, ref_sketches = db.read_markers_bin(ref_marker_file)
+    except db.CorruptDbError as e:
+        log.error(str(e))
+        raise SystemExit(1)
     screen_val = _resolve_screen_val(command_params, sketch_params)
     learned_ani = gbdt.use_learned_ani(
         sketch_params.c, command_params.individual_contig_q, False,
@@ -634,7 +640,11 @@ def search(command_params: CommandParams, executor=None) -> List[AniEstResult]:
     db_reader = None
     if db.is_consolidated_db(folder):
         log.info("Detected consolidated sketch database format")
-        db_reader = db.SketchDbReader(folder)
+        try:
+            db_reader = db.SketchDbReader(folder)
+        except db.CorruptDbError as e:
+            log.error(str(e))
+            raise SystemExit(1)
     elif db.has_separate_sketches(folder):
         log.info("Detected separate sketch files format")
     else:
