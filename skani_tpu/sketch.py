@@ -223,11 +223,20 @@ def _accelerator_link_is_fast(threshold_bytes_per_s: float = 2e8) -> bool:
     return _LINK_FAST
 
 
-def default_seeder(params: Optional[SketchParams] = None):
+# Auto-probing the accelerator link is only worth its cost (a device
+# claim + transfer roundtrip — seconds, or minutes on a contended pool)
+# when enough sequence is queued that batched device seeding could
+# plausibly beat the native kernel (~84 Mbp/s/core measured).
+_PROBE_MIN_BASES = 64_000_000
+
+
+def default_seeder(params: Optional[SketchParams] = None,
+                   total_bases: Optional[int] = None):
     """Fastest available bit-exact seeding kernel for this host: the
     batched device kernel (kernels/seeding_tpu.py) when an accelerator is
-    attached over a fast local link, else the native C++ kernel, else the
-    NumPy reference; AA path for use_aa.
+    attached over a fast local link AND the queued workload (total_bases
+    hint) is large enough to amortize the probe, else the native C++
+    kernel, else the NumPy reference; AA path for use_aa.
 
     SKANI_TPU_SEEDER=tpu/native/numpy overrides the probe.
     """
@@ -237,6 +246,8 @@ def default_seeder(params: Optional[SketchParams] = None):
     import os
     choice = os.environ.get("SKANI_TPU_SEEDER", "auto")
     if choice == "tpu" or (choice == "auto"
+                           and total_bases is not None
+                           and total_bases >= _PROBE_MIN_BASES
                            and _accelerator_link_is_fast()):
         from .kernels.seeding_tpu import fmh_seeds_tpu
         return fmh_seeds_tpu
@@ -403,10 +414,23 @@ def fastx_to_sketches(paths: List[str], params: SketchParams,
     """reference: src/file_io.rs:141-252 (rayon-parallel over files, then
     sorted by (file_name, contig_order) for determinism).  The native C++
     seeding kernel releases the GIL, so `threads` scales across cores.
-    When the device seeder is selected (fast local link or
-    SKANI_TPU_SEEDER=tpu), the whole file set routes through the batched
-    device path instead."""
-    eff = seeder or default_seeder(params)
+    When the device seeder is selected (fast local link + a file set big
+    enough to amortize the link probe, or SKANI_TPU_SEEDER=tpu), the whole
+    file set routes through the batched device path instead."""
+    if seeder is None:
+        import os as _os
+        total = 0
+        for p in paths:
+            try:
+                sz = _os.path.getsize(p)
+            except OSError:
+                continue
+            # gz fasta compresses ~4x; a coarse hint is all the probe
+            # gate needs
+            total += sz * 4 if p.endswith(".gz") else sz
+        eff = default_seeder(params, total_bases=total)
+    else:
+        eff = seeder
     if getattr(eff, "__name__", "") == "fmh_seeds_tpu" \
             and not params.use_aa:
         return _sketch_files_device_batch(paths, params, seed, warn)
