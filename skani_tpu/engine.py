@@ -446,19 +446,32 @@ def _search_device_resident(command_params: CommandParams,
     n_refs = len(ref_sketches)
     budget = int(os.environ.get("SKANI_TPU_SEARCH_HBM_MB", "4096")) << 20
     # page partition by on-disk sketch size (device bytes ~ 1.3-2x the
-    # bincode bytes; the 2x factor leaves pad-to-max headroom)
+    # bincode bytes; the 2x factor leaves pad-to-max headroom).  When the
+    # DB exceeds one budget, pages are sized at budget/2 so at least two
+    # pages co-reside under the LRU — consecutive mega-windows touching
+    # the same pages then pay zero re-upload instead of thrashing.
+    ests = [2 * db_reader.index[j][1] for j in range(n_refs)]
+    total_est = sum(ests)
+    page_kb = os.environ.get("SKANI_TPU_SEARCH_PAGE_KB")
+    if page_kb:                      # explicit page granularity (tests)
+        page_budget = int(page_kb) << 10
+    else:
+        page_budget = budget if total_est <= budget else budget // 2
     pages: List[List[int]] = []
+    page_bytes: List[int] = []
     cur: List[int] = []
     acc = 0
     for j in range(n_refs):
-        est = 2 * db_reader.index[j][1]
-        if cur and acc + est > budget:
+        est = ests[j]
+        if cur and acc + est > page_budget:
             pages.append(cur)
+            page_bytes.append(acc)
             cur, acc = [], 0
         cur.append(j)
         acc += est
     if cur:
         pages.append(cur)
+        page_bytes.append(acc)
     page_of = {}
     for pi, page in enumerate(pages):
         for j in page:
@@ -474,16 +487,23 @@ def _search_device_resident(command_params: CommandParams,
     except OSError:
         db_id = (os.path.realpath(folder), 0.0)
 
+    n_page_uploads = 0
+
     def load_page(pi: int) -> DevicePairEngine:
         """Page engines persist ACROSS search() calls (module cache keyed
         on the DB file identity): repeat searches against the same DB pay
-        zero re-upload.  Only one page stays resident (HBM budget)."""
+        zero re-upload.  Multiple pages stay resident under an LRU bounded
+        by the HBM budget (pages are sized at budget/2 when the DB spans
+        more than one), so a DB up to 2x the budget never re-uploads."""
+        nonlocal n_page_uploads
         # q_slots is part of the identity: a cached engine reserved fewer
         # query rows than a later call chunks by would scatter past the
         # device table (silently dropped) and then index out of range
         key = (db_id, pi, len(pages), q_slots)
         eng = _resident_engines.get(key)
         if eng is not None:
+            _resident_engines.pop(key)          # LRU move-to-end
+            _resident_engines[key] = eng
             eng.command_params = command_params
             eng.model = model
             return eng
@@ -500,10 +520,18 @@ def _search_device_resident(command_params: CommandParams,
                     refs = list(ex.map(one, page))
             else:
                 refs = [one(j) for j in page]
-        _resident_engines.clear()   # free the previous page's HBM first
+        # evict least-recently-used pages until the new one fits
+        resident = sum(getattr(e, "_hbm_est", budget)
+                       for e in _resident_engines.values())
+        while _resident_engines and resident + page_bytes[pi] > budget:
+            _k, old = next(iter(_resident_engines.items()))
+            resident -= getattr(old, "_hbm_est", budget)
+            del _resident_engines[_k], old
         eng = DevicePairEngine(refs, sketch_params, command_params,
                                model=model, reserved_slots=q_slots)
+        eng._hbm_est = page_bytes[pi]
         _resident_engines[key] = eng
+        n_page_uploads += 1
         return eng
 
     anis: List[AniEstResult] = []
@@ -529,7 +557,13 @@ def _search_device_resident(command_params: CommandParams,
         for qi, refs_to_try in enumerate(per_query_refs):
             for j in refs_to_try:
                 by_page.setdefault(page_of[j], []).append((j, qi))
-        for pi in sorted(by_page):
+        # resident pages first: with the LRU this makes the page schedule
+        # across consecutive windows ...,A,B | B,A,... so the boundary
+        # page never re-uploads
+        resident = {k[1] for k in _resident_engines
+                    if k[0] == db_id and k[2] == len(pages)
+                    and k[3] == q_slots}
+        for pi in sorted(by_page, key=lambda p: (p not in resident, p)):
             eng = load_page(pi)
             page = pages[pi]
             local = {j: s for s, j in enumerate(page)}
@@ -568,6 +602,13 @@ def _search_device_resident(command_params: CommandParams,
     # would grow RSS with query-set size where the windowed path stays
     # flat per window
     mega_cap = int(os.environ.get("SKANI_TPU_SEARCH_BATCH", "4096"))
+    # when the DB exceeds the LRU capacity, every window still pays
+    # (pages - resident) uploads — amortize them over proportionally
+    # larger windows (bounded: queries held are full sketches)
+    lru_capacity = max(1, budget // page_budget)
+    excess_pages = max(0, len(pages) - lru_capacity)
+    if excess_pages:
+        mega_cap *= min(8, 1 + excess_pages)
     queries: List[Sketch] = []
     per_query_refs: List[List[int]] = []
     n_pend = 0
@@ -595,6 +636,8 @@ def _search_device_resident(command_params: CommandParams,
             flush()
     run_mega(queries, per_query_refs)
     flush(final=True)
+    log.info(f"Device-resident search: {n_page_uploads} page upload(s) "
+             f"across {len(pages)} page(s)")
     return anis
 
 

@@ -118,6 +118,34 @@ def test_search_device_resident_paged(genomes, tmp_path):
     _diff(out_n, out_p)
 
 
+def test_search_lru_keeps_pages_resident(genomes, tmp_path):
+    """Multi-page DB whose pages ALL fit in the HBM budget: the LRU must
+    keep them resident across mega-windows, so the page-upload count
+    equals the page count even when every query flushes its own window
+    (SKANI_TPU_SEARCH_BATCH=1).  Output stays byte-identical."""
+    import re
+    d, paths = genomes
+    db = str(tmp_path / "db")
+    _run(["sketch"] + paths + ["-o", db], None, d)
+    out_n = str(tmp_path / "n.tsv")
+    out_p = str(tmp_path / "p.tsv")
+    args = ["search", "-d", db, "-q"] + paths[:3] + ["-v"]
+    _run(args + ["-o", out_n], None, d)
+    r = _run(args + ["-o", out_p], "tpu", d,
+             extra_env={"SKANI_TPU_SEARCH_PAGE_KB": "64",
+                        "SKANI_TPU_SEARCH_BATCH": "1",
+                        "SKANI_TPU_SEARCH_QSLOTS": "2"})
+    _diff(out_n, out_p)
+    m = re.search(r"(\d+) page upload\(s\) across (\d+) page\(s\)", r.stderr)
+    assert m, r.stderr[-2000:]
+    uploads, pages = int(m.group(1)), int(m.group(2))
+    assert pages >= 2, r.stderr[-2000:]
+    # every touched page uploads exactly once; untouched pages (no query
+    # screens into them) never upload — so uploads can be < pages but a
+    # single re-upload would push it past the page count
+    assert 2 <= uploads <= pages, (uploads, pages)
+
+
 def test_search_windowed_fallback_equivalence(genomes, tmp_path):
     """SKANI_TPU_SEARCH_RESIDENT=0 forces the windowed executor path —
     still byte-identical."""
