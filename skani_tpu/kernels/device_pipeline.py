@@ -95,7 +95,7 @@ from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .expand_pallas import expand_anchors
 from .gather_pallas import (mxu_row_gather, mxu_row_scatter,
-                            windowed_sorted_gather)
+                            mxu_row_scatter_multi, windowed_sorted_gather)
 
 I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
@@ -193,8 +193,13 @@ def phase_a(db, ab_idx,
         # sorted-merge collapses to ONE row gather of the ref genome's
         # dense (cnt << 17 | start) table (0 = absent; present => cnt >= 1)
         gid_a = db["gid"][a_idx]                      # (R, K)
+        if stage == 21:  # join: query-side gid row gather only
+            return _chk(gid_a)
         valid_k = gid_a >= 0
         U = db["dense_cs"].shape[1]
+        dcs_b = db["dense_cs"][b_idx]                 # (R, U)
+        if stage == 22:  # join: + ref-side dense table row gather
+            return _chk(dcs_b)
         if use_pallas and U % 1024 == 0 and K % 1024 == 0 and 64 <= U // 128:
             # gid is ASCENDING per row (searchsorted ranks of the sorted
             # kmer table), so the union-axis gather takes the windowed
@@ -204,10 +209,11 @@ def phase_a(db, ab_idx,
             # exact native path (never observed at real kmer densities)
             gmax = jnp.max(gid_a, axis=1, keepdims=True)
             idx_sorted = jnp.maximum(jnp.where(valid_k, gid_a, gmax), 0)
-            csb, join_ovf = windowed_sorted_gather(
-                db["dense_cs"][b_idx], idx_sorted)
+            csb, join_ovf = windowed_sorted_gather(dcs_b, idx_sorted)
         else:
-            csb = rg(db["dense_cs"][b_idx], jnp.maximum(gid_a, 0))
+            csb = rg(dcs_b, jnp.maximum(gid_a, 0))
+        if stage == 23:  # join: + union-axis windowed gather
+            return _chk(csb, join_ovf)
         hit = valid_k & (csb != 0)
         b_cnt_hit = jnp.where(hit, csb >> 17, 0)
         b_start_hit = jnp.where(hit, csb & ((1 << 17) - 1), 0)
@@ -365,6 +371,19 @@ def phase_a(db, ab_idx,
             # searchsorted at these shapes); block starts recover the
             # intra-block rank
             emit = (cnt_p > 0) & (offs_p < A)
+            # FUSED query-side expansion (sorted_packed): the apk gather at
+            # g is a forward-fill of apk VALUES, because g itself is a
+            # forward-fill of position indices and apk is sorted.  Scatter
+            # a monotone repack of apk (ctg<<25 | pos<<1 | canon — the
+            # canonical bit moves BELOW pos so the word is nondecreasing
+            # in (ctg, pos) order; 6+24+1 = 31 bits, fits int32) as a
+            # second payload of the SAME fill scatter and cummax it: the
+            # entire (R, A) query-side gather pass disappears for the cost
+            # of 4 extra plane matmuls inside the scatter + one cummax.
+            fused_apk = (gen_mode == "sorted_packed" and P <= 65536
+                         and os.environ.get("SKANI_TPU_FUSED_APK", "1")
+                         == "1")
+            aw_fill = None
             if P <= 65536:
                 # both the position index and its ref-run start fit 16
                 # bits, so ONE packed (p << 16 | bs) fill carries both —
@@ -372,6 +391,12 @@ def phase_a(db, ab_idx,
                 # (R, A) bs gather (a full random-access pass) is gone
                 pk = ((pcols.astype(jnp.uint32) << 16)
                       | bs_p.astype(jnp.uint32))
+                if fused_apk:
+                    apk_a = db["apk"][a_idx]
+                    awf = (((apk_a >> 25) << 25)
+                           | ((apk_a & 0xFFFFFF) << 1)
+                           | ((apk_a >> 24) & 1))
+                tgt = jnp.where(emit, offs_p, A)
                 if use_pallas and A % 128 == 0 and P % 2048 == 0 \
                         and os.environ.get("SKANI_TPU_MXU_SCATTER",
                                            "1") == "1":
@@ -380,14 +405,27 @@ def phase_a(db, ab_idx,
                     # (32, 40960)->(32, 49152).  Bitcast to uint32 so
                     # the forward-fill cummax compares unsigned (pk's
                     # top bit is set for pcols >= 32768).
-                    fw_i = mxu_row_scatter(
-                        jnp.where(emit, offs_p, A),
-                        jax.lax.bitcast_convert_type(pk, jnp.int32), A)
-                    fw = jax.lax.bitcast_convert_type(fw_i, jnp.uint32)
+                    if fused_apk:
+                        outs = mxu_row_scatter_multi(
+                            tgt,
+                            jnp.stack([jax.lax.bitcast_convert_type(
+                                pk, jnp.int32), awf], axis=1), A)
+                        fw = jax.lax.bitcast_convert_type(
+                            outs[:, 0], jnp.uint32)
+                        aw_fill = outs[:, 1]
+                    else:
+                        fw_i = mxu_row_scatter(
+                            tgt,
+                            jax.lax.bitcast_convert_type(pk, jnp.int32), A)
+                        fw = jax.lax.bitcast_convert_type(fw_i, jnp.uint32)
                 else:
                     fw = jnp.zeros((R, A), jnp.uint32).at[
-                        rowi, jnp.where(emit, offs_p, A)].max(
+                        rowi, tgt].max(
                         jnp.where(emit, pk, jnp.uint32(0)), mode="drop")
+                    if fused_apk:
+                        aw_fill = jnp.zeros((R, A), jnp.int32).at[
+                            rowi, tgt].max(
+                            jnp.where(emit, awf, 0), mode="drop")
                 if stage == 31:  # expansion: fill scatter only
                     return _chk(fw)
                 fwm = jax.lax.cummax(fw, axis=1)
@@ -419,21 +457,30 @@ def phase_a(db, ab_idx,
                 # 1024-anchor tile spans more than WB*128 positions set
                 # the per-row overflow and ride the exact native fallback
                 # (never hit on screened-in pairs at default presets).
-                apk_wb = int(os.environ.get("SKANI_TPU_APK_WB", "64"))
-                if use_pallas and apk_wb > 0 and P % 1024 == 0 \
-                        and A % 1024 == 0 and P >= apk_wb * 128:
-                    aw, apk_ovf = windowed_sorted_gather(
-                        db["apk"][a_idx], g, WB=apk_wb)
-                    join_ovf = join_ovf | apk_ovf
+                if aw_fill is not None:
+                    # fused path: forward-fill the scattered monotone apk
+                    # word — no gather pass
+                    awm = jax.lax.cummax(aw_fill, axis=1)
+                    qp_r = (awm >> 1) & 0xFFFFFF
+                    qcc = ((awm >> 25) << 1) | (awm & 1)
+                    if stage == 33:  # expansion: + query-side fill
+                        return _chk(awm)
                 else:
-                    aw = rg(db["apk"][a_idx], g)
-                if stage == 33:  # expansion: + query-side gather
-                    return _chk(aw)
+                    apk_wb = int(os.environ.get("SKANI_TPU_APK_WB", "64"))
+                    if use_pallas and apk_wb > 0 and P % 1024 == 0 \
+                            and A % 1024 == 0 and P >= apk_wb * 128:
+                        aw, apk_ovf = windowed_sorted_gather(
+                            db["apk"][a_idx], g, WB=apk_wb)
+                        join_ovf = join_ovf | apk_ovf
+                    else:
+                        aw = rg(db["apk"][a_idx], g)
+                    if stage == 33:  # expansion: + query-side gather
+                        return _chk(aw)
+                    qp_r = aw & 0xFFFFFF
+                    qcc = (aw >> 24) & 0xFF
                 bw = rg(db["bpk"][b_idx], brow)
                 if stage == 34:  # expansion: + ref-side gather
                     return _chk(bw)
-                qp_r = aw & 0xFFFFFF
-                qcc = (aw >> 24) & 0xFF
                 rp_r = bw & 0xFFFFFF
                 rcc = (bw >> 24) & 0xFF
             else:

@@ -230,6 +230,86 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False, i8=None):
     )(idx, vals)
 
 
+def _scat_multi_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR, V, i8):
+    # V-payload variant of _scat_kern: the one-hot factors (m1, oh_lo) are
+    # payload-independent and dominate the kernel cost, so scattering V
+    # payloads at the same targets costs ~1 one-hot build + 4V plane
+    # matmuls instead of V full scatters.
+    pt = jnp.int8 if i8 else jnp.bfloat16
+
+    def row(rr, _):
+        acc[:] = jnp.zeros_like(acc)
+
+        def chunk(c, _):
+            sl = pl.ds(c * PC, PC)
+            ix = i_ref[rr, sl].reshape(PC, 1)
+            hi = ix >> 7
+            lo = ix & 127
+            m1 = (hi == jax.lax.broadcasted_iota(jnp.int32, (PC, KB), 1)
+                  ).astype(pt)
+            oh_lo = (lo == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, 128), 1)).astype(jnp.int32 if i8 else pt)
+            for v in range(V):
+                vv = v_ref[rr, v, sl].reshape(PC, 1)
+
+                def plane(p, _, vv=vv, v=v):
+                    if i8:
+                        vp = (oh_lo * ((vv >> (8 * p)) & 0xFF)).astype(pt)
+                    else:
+                        vp = oh_lo * ((vv >> (8 * p)) & 0xFF).astype(pt)
+                    prod = jax.lax.dot_general(
+                        m1, vp, (((0,), (0,)), ((), ())),
+                        preferred_element_type=(jnp.int32 if i8
+                                                else jnp.float32))
+                    acc[pl.ds((v * 4 + p) * KB, KB), :] += prod
+                    return 0
+
+                jax.lax.fori_loop(0, 4, plane, 0)
+            return 0
+
+        jax.lax.fori_loop(0, NC, chunk, 0)
+        for v in range(V):
+            out = jnp.zeros((KB, 128), jnp.int32)
+            for p in range(4):
+                vp = acc[pl.ds((v * 4 + p) * KB, KB), :].astype(jnp.int32)
+                out = out | ((vp & 0xFF if i8 else vp) << (8 * p))
+            o_ref[pl.ds(rr, 1), v, :] = out.reshape(1, KB * 128)
+        return 0
+
+    jax.lax.fori_loop(0, BR, row, 0)
+
+
+def mxu_row_scatter_multi(idx, vals, K, interpret: bool = False, i8=None):
+    """out[r, v, idx[r, p]] = vals[r, v, p]; zeros elsewhere.  vals is
+    (R, V, P) — V payloads scattered at the SAME per-row targets for
+    roughly the cost of one scatter (the one-hot build dominates; the V*4
+    plane matmuls ride the MXU).  Same constraints as mxu_row_scatter."""
+    R, V, P = vals.shape
+    assert idx.shape == (R, P)
+    assert K % 128 == 0
+    PC = 2048
+    assert P % PC == 0
+    # V payload accs + blocks must fit VMEM alongside idx/vals/out
+    BR = 8 if (R % 8 == 0 and V <= 2) else (4 if R % 4 == 0 else R)
+    i8 = _resolve_i8(i8)
+    kern = functools.partial(_scat_multi_kern, P=P, KB=K // 128, PC=PC,
+                             NC=P // PC, BR=BR, V=V, i8=i8)
+    return pl.pallas_call(
+        kern,
+        grid=(R // BR,),
+        in_specs=[pl.BlockSpec((BR, P), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BR, V, P), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BR, V, K), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, V, K), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((V * 4 * (K // 128), 128),
+                                   jnp.int32 if i8 else jnp.float32)],
+        interpret=interpret,
+    )(idx, vals)
+
+
 def mxu_row_gather(table, idx, interpret: bool = False, i8=None):
     """take_along_axis(table, idx, axis=1) on the MXU.  Requires the table
     width to be a multiple of 128 and the index width a multiple of 1024
