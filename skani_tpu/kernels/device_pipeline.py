@@ -95,7 +95,8 @@ from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .expand_pallas import expand_anchors
 from .gather_pallas import (mxu_row_gather, mxu_row_scatter,
-                            mxu_row_scatter_multi, windowed_sorted_gather)
+                            mxu_row_scatter_multi_wide,
+                            windowed_sorted_gather)
 
 I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
@@ -406,7 +407,7 @@ def phase_a(db, ab_idx,
                     # the forward-fill cummax compares unsigned (pk's
                     # top bit is set for pcols >= 32768).
                     if fused_apk:
-                        outs = mxu_row_scatter_multi(
+                        outs = mxu_row_scatter_multi_wide(
                             tgt,
                             jnp.stack([jax.lax.bitcast_convert_type(
                                 pk, jnp.int32), awf], axis=1), A)
@@ -932,12 +933,16 @@ class DevicePairEngine:
         dev0 = (device or jax.devices()[0])
         if "gid" in self.db.arrays and dev0.platform == "tpu" \
                 and self.db.U % 1024 == 0 \
-                and os.environ.get("SKANI_TPU_JOIN", "auto") == "auto":
-            # TPU default since round 3: the kmer-axis join rides the
-            # WINDOWED sorted gather over the union axis (gid ascending)
-            # — ~0.4 ms vs ~7.5 ms for dense_pos's unsorted U-wide
-            # gather; the extra kmer->position mapping gather costs
-            # ~2.7 ms, a net ~4-6 ms/batch win at U ~126k (PERF.md).
+                and os.environ.get("SKANI_TPU_JOIN", "auto") == "auto" \
+                and not ("gidp" in self.db.arrays
+                         and self.db.U <= (1 << 16)):
+            # kmer-axis join over the union axis (windowed sorted gather
+            # + kmer->position mapping gather): wins when U is LARGE
+            # (~126k: windowed ~0.4 ms vs ~7.5 ms for dense_pos's
+            # unsorted U-wide one-hot).  At small U the position-axis
+            # join's single gather beats windowed+mapping (hardware A/B,
+            # round 4: 911 vs 836 pairs/s at U=41k), so auto prefers
+            # dense_pos below 64k.
             self.join_mode = "dense"
         elif "gidp" in self.db.arrays \
                 and os.environ.get("SKANI_TPU_JOIN") != "dense":

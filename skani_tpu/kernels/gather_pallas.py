@@ -50,6 +50,8 @@ def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR, i8):
     # windowed gather for SORTED per-row indices: each 1024-index tile
     # spans a narrow table range, so the one-hot matmul runs against a
     # WB-block window (dynamic sublane slice) instead of all UB blocks.
+    # The four 8-bit planes concatenate along the lane axis so the tile
+    # runs ONE (AT, WB) x (WB, 512) dot instead of four narrow ones.
     def row(rr, _):
         ix = i_ref[pl.ds(rr, 1), :]                     # (1, AT)
         lo_blk = jnp.clip(jnp.min(ix) >> 7, 0, UB - WB)
@@ -64,12 +66,15 @@ def _wg_kern(t_ref, i_ref, o_ref, *, UB, WB, BR, i8):
         oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, WB), 1)
                  ).astype(pt)
         oh_lo = lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
+        winw = jnp.concatenate(
+            [((win >> (8 * p)) & 0xFF).astype(pt) for p in range(4)],
+            axis=1)                                      # (WB, 512)
+        rows4 = jnp.dot(oh_hi, winw,
+                        preferred_element_type=(jnp.int32 if i8
+                                                else jnp.float32))
         v = jnp.zeros((AT,), jnp.int32)
         for p in range(4):
-            plane = ((win >> (8 * p)) & 0xFF).astype(pt)
-            rows = jnp.dot(oh_hi, plane,
-                           preferred_element_type=(jnp.int32 if i8
-                                                   else jnp.float32))
+            rows = rows4[:, p * 128:(p + 1) * 128]
             vp = jnp.sum(jnp.where(oh_lo, rows, rows.dtype.type(0)),
                          axis=1).astype(jnp.int32)
             v = v | ((vp & 0xFF if i8 else vp) << (8 * p))
@@ -121,6 +126,8 @@ def windowed_sorted_gather(table, idx, WB: int = 64,
 
 
 def _kern(t_ref, i_ref, o_ref, *, KB, BR, i8):
+    # full-table gather; planes concatenated along the lane axis so each
+    # tile runs ONE (AT, KB) x (KB, 512) dot instead of four narrow ones
     def body(rr, _):
         tab = t_ref[pl.ds(rr, 1), :].reshape(KB, 128)
         ix = i_ref[pl.ds(rr, 1), :].reshape(AT, 1)
@@ -130,12 +137,15 @@ def _kern(t_ref, i_ref, o_ref, *, KB, BR, i8):
         oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, KB), 1)
                  ).astype(pt)
         oh_lo = lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
+        tabw = jnp.concatenate(
+            [((tab >> (8 * p)) & 0xFF).astype(pt) for p in range(4)],
+            axis=1)                                      # (KB, 512)
+        rows4 = jnp.dot(oh_hi, tabw,
+                        preferred_element_type=(jnp.int32 if i8
+                                                else jnp.float32))
         v = jnp.zeros((AT,), jnp.int32)
         for p in range(4):
-            plane = ((tab >> (8 * p)) & 0xFF).astype(pt)
-            rows = jnp.dot(oh_hi, plane,
-                           preferred_element_type=(jnp.int32 if i8
-                                                   else jnp.float32))
+            rows = rows4[:, p * 128:(p + 1) * 128]
             vp = jnp.sum(jnp.where(oh_lo, rows, rows.dtype.type(0)),
                          axis=1).astype(jnp.int32)
             v = v | ((vp & 0xFF if i8 else vp) << (8 * p))
@@ -294,6 +304,12 @@ def mxu_row_scatter_multi(idx, vals, K, interpret: bool = False, i8=None):
     i8 = _resolve_i8(i8)
     kern = functools.partial(_scat_multi_kern, P=P, KB=K // 128, PC=PC,
                              NC=P // PC, BR=BR, V=V, i8=i8)
+    # double-buffered blocks exceed the default 16 MB scoped-vmem limit
+    # at production shapes — size the limit like dp_compact does
+    blocks = 4 * (BR * P * (1 + V) + BR * V * K)     # idx + vals + out
+    scratch = (V * 4 * (K // 128)) * 128 * 4
+    vmem_limit = min(max(int(2.5 * blocks) + scratch + (6 << 20), 16 << 20),
+                     110 << 20)
     return pl.pallas_call(
         kern,
         grid=(R // BR,),
@@ -306,6 +322,89 @@ def mxu_row_scatter_multi(idx, vals, K, interpret: bool = False, i8=None):
         out_shape=jax.ShapeDtypeStruct((R, V, K), jnp.int32),
         scratch_shapes=[pltpu.VMEM((V * 4 * (K // 128), 128),
                                    jnp.int32 if i8 else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(idx, vals)
+
+
+def _scat_multi_wide_kern(i_ref, v_ref, o_ref, acc, *, P, KB, PC, NC, BR, V,
+                          i8):
+    # wide-dot variant: the V*4 plane vectors concatenate along the output
+    # (lane) axis so each chunk runs ONE (PC, KB) x (PC, V*4*128) matmul
+    # instead of V*4 narrow ones — fewer launches, fuller MXU tiles.
+    pt = jnp.int8 if i8 else jnp.bfloat16
+    W = V * 4 * 128
+
+    def row(rr, _):
+        acc[:] = jnp.zeros_like(acc)
+
+        def chunk(c, _):
+            sl = pl.ds(c * PC, PC)
+            ix = i_ref[rr, sl].reshape(PC, 1)
+            hi = ix >> 7
+            lo = ix & 127
+            m1 = (hi == jax.lax.broadcasted_iota(jnp.int32, (PC, KB), 1)
+                  ).astype(pt)
+            oh_lo = (lo == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, 128), 1)).astype(jnp.int32 if i8 else pt)
+            cols = []
+            for v in range(V):
+                vv = v_ref[rr, v, sl].reshape(PC, 1)
+                for p in range(4):
+                    if i8:
+                        cols.append((oh_lo * ((vv >> (8 * p)) & 0xFF)
+                                     ).astype(pt))
+                    else:
+                        cols.append(oh_lo
+                                    * ((vv >> (8 * p)) & 0xFF).astype(pt))
+            vp = jnp.concatenate(cols, axis=1)            # (PC, W)
+            acc[...] += jax.lax.dot_general(
+                m1, vp, (((0,), (0,)), ((), ())),
+                preferred_element_type=(jnp.int32 if i8 else jnp.float32))
+            return 0
+
+        jax.lax.fori_loop(0, NC, chunk, 0)
+        for v in range(V):
+            out = jnp.zeros((KB, 128), jnp.int32)
+            for p in range(4):
+                s = (v * 4 + p) * 128
+                vpl = acc[:, pl.ds(s, 128)].astype(jnp.int32)
+                out = out | ((vpl & 0xFF if i8 else vpl) << (8 * p))
+            o_ref[pl.ds(rr, 1), v, :] = out.reshape(1, KB * 128)
+        return 0
+
+    jax.lax.fori_loop(0, BR, row, 0)
+
+
+def mxu_row_scatter_multi_wide(idx, vals, K, interpret: bool = False,
+                               i8=None):
+    """Same contract as mxu_row_scatter_multi; wide-dot kernel layout."""
+    R, V, P = vals.shape
+    assert idx.shape == (R, P)
+    assert K % 128 == 0
+    PC = 2048
+    assert P % PC == 0
+    BR = 8 if (R % 8 == 0 and V <= 2) else (4 if R % 4 == 0 else R)
+    i8 = _resolve_i8(i8)
+    kern = functools.partial(_scat_multi_wide_kern, P=P, KB=K // 128, PC=PC,
+                             NC=P // PC, BR=BR, V=V, i8=i8)
+    blocks = 4 * (BR * P * (1 + V) + BR * V * K)
+    scratch = (K // 128) * (V * 4 * 128) * 4
+    vmem_limit = min(max(int(2.5 * blocks) + scratch + (6 << 20), 16 << 20),
+                     110 << 20)
+    return pl.pallas_call(
+        kern,
+        grid=(R // BR,),
+        in_specs=[pl.BlockSpec((BR, P), lambda r: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BR, V, P), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BR, V, K), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, V, K), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((K // 128, V * 4 * 128),
+                                   jnp.int32 if i8 else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(idx, vals)
 
