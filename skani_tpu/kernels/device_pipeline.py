@@ -1062,16 +1062,26 @@ class DevicePairEngine:
         """(I_CAP, C_CAP) for one anchor bucket: chunk count scales with
         genome length (~ bucket * c / 20000, since anchors ~ positions ~
         len/c), so big-genome buckets (eukaryote MAGs) get wider chunk and
-        interval buffers instead of falling back to the host.  Small
-        buckets keep the engine defaults so the compiled shape set stays
-        tiny."""
+        interval buffers instead of falling back to the host, and SMALL
+        buckets (150 kb-scale genomes in `search` DBs) shrink both caps —
+        the padded metadata sorts and the packed readback then scale with
+        the genomes, not with the engine's E. coli-sized defaults.  A pair
+        that overflows a shrunken cap falls back to the exact native path
+        (the same overflow guard big pairs use), so the caps are purely a
+        throughput choice."""
         c0 = max(int(getattr(self.sketches[0], "c", 125) or 125), 1) \
             if self.sketches else 125
         est = int(1.3 * bucket_a * c0 / 20000) + 2
-        cc = self.C_CAP
+        cc = min(self.C_CAP, 64)
         while cc < est and cc < 8192:
             cc *= 2
-        return max(self.I_CAP, cc), cc
+        cc = min(cc, self.C_CAP) if est <= self.C_CAP else cc
+        # intervals run ~1.5-2 per chunk on real genomes; cc already
+        # carries ~2x headroom over the bucket's chunk estimate.  Small
+        # buckets shrink toward 2*cc (>= 128); big buckets keep the old
+        # max(I_CAP, cc) growth
+        icap = max(128, min(2 * cc, max(self.I_CAP, cc)))
+        return icap, cc
 
     def _bucket_a(self, ri: int, qi: int) -> int:
         """Anchor-buffer size for one pair: the smallest power-of-two
@@ -1088,10 +1098,28 @@ class DevicePairEngine:
         return b if 4 * b <= self.A else self.A
 
     def _r_for(self, bucket_a: int) -> int:
-        """Batch rows for one anchor bucket: R*A bounded (~8M padded
-        slots) so huge-genome buckets run in smaller batches instead of
-        blowing HBM or falling back to the host."""
-        return max(2, min(self.R, (8 << 20) // bucket_a))
+        """Batch rows for one anchor bucket.  Two bounds meet here:
+
+        * huge-genome buckets shrink R so the padded (R, A) domain stays
+          ~8M slots (HBM / VMEM bound);
+        * SMALL buckets (150 kb-scale `search` DBs) WIDEN R so the batch
+          carries ~ the same total anchor slots as the default
+          (R, 49152) shape — the fixed per-XLA-op and per-dispatch costs
+          then amortize over 6-24x more pairs.  Hardware A/B (round 4,
+          10k-genome search): warm 3.41 -> ~1 s/query from this alone.
+
+        Capped by SKANI_TPU_RMAX (default 256 on TPU: the packed readback
+        and the single-core host finalize stay comfortably pipelined; 0
+        disables).  CPU (tests) keeps the narrow width — small workloads
+        would pay the padded slots without the fixed costs to amortize —
+        and tests/test_device_engine.py pins wide-batch exactness via an
+        explicit SKANI_TPU_RMAX."""
+        r_big = min(self.R, (8 << 20) // bucket_a)
+        dev0 = self.device or jax.devices()[0]
+        rmax = int(os.environ.get(
+            "SKANI_TPU_RMAX", "256" if dev0.platform == "tpu" else "0"))
+        r_small = min(rmax, (self.R * 49152) // bucket_a)
+        return max(2, r_big, r_small)
 
     def _dispatch_phase_a(self, group, mp0, idx_dev=None):
         dev = self.device or jax.devices()[0]

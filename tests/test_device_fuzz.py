@@ -277,3 +277,32 @@ def test_device_engine_bucket_scaled_caps():
     res = eng.run_pairs(pairs, host_workers=0)
     assert not np.isnan(res[0].ani)
     _assert_matches_native(sks, cp, pairs, res)
+
+
+def test_device_engine_wide_batch_small_bucket(monkeypatch):
+    """Small-genome buckets WIDEN the batch (search-at-scale: fixed
+    per-dispatch/per-op costs amortize over 6-24x more pairs) and SHRINK
+    the chunk/interval caps to the bucket's genome scale.  Exactness of
+    the widened (R, A) shape and the shrunken caps vs native."""
+    monkeypatch.setenv("SKANI_TPU_RMAX", "64")
+    rng = np.random.default_rng(53)
+    sp = SketchParams()
+    cp = CommandParams()
+    n = 40_000
+    base = BASES[rng.integers(0, 4, size=n)]
+    sks = []
+    for g in range(12):
+        s = base.copy()
+        nm = int(n * (0.004 + 0.03 * g / 11))
+        p = rng.choice(n, size=nm, replace=False)
+        s[p] = BASES[rng.integers(0, 4, size=nm)]
+        sks.append(_mk_sketch([s], sp, f"wb{g}"))
+    eng = DevicePairEngine(sks, sp, cp)
+    b = eng._bucket_a(0, 1)
+    assert eng._r_for(b) == 64          # widened past the CPU default
+    icap, ccap = eng._caps_for(b)
+    assert ccap < 512 and icap < 512    # caps shrunk to the bucket
+    pairs = [(i, j) for i in range(12) for j in range(12) if i < j]
+    res = eng.run_pairs(pairs, host_workers=0)
+    assert sum(not np.isnan(r.ani) for r in res) > 30
+    _assert_matches_native(sks, cp, pairs, res)
