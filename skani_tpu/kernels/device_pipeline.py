@@ -94,9 +94,9 @@ from .. import stats
 from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .expand_pallas import expand_anchors
-from .gather_pallas import (mxu_row_gather, mxu_row_scatter,
-                            mxu_row_scatter_multi_wide,
-                            windowed_sorted_gather)
+from .gather_pallas import (mxu_gather_ok, mxu_row_gather, mxu_row_scatter,
+                            mxu_row_scatter_multi_wide, mxu_scatter_ok,
+                            windowed_gather_ok, windowed_sorted_gather)
 
 I32MAX = np.int32(2 ** 31 - 1)
 BIG = jnp.int32(1 << 30)
@@ -164,9 +164,12 @@ def phase_a(db, ab_idx,
 
     def rg(table, index):
         """Row gather: MXU one-hot kernel when shapes allow, XLA flat
-        gather otherwise (CPU, or narrow tables like small chunk caps)."""
-        if use_pallas and table.shape[1] % 128 == 0 \
-                and index.shape[1] % 1024 == 0:
+        gather otherwise (CPU, narrow tables like small chunk caps, or
+        tables too WIDE for the one-hot kernel — its matmul cost and its
+        VMEM row block both scale with table width, so big-genome
+        position tables route to XLA; see gather_pallas.mxu_gather_ok)."""
+        if use_pallas and mxu_gather_ok(table.shape[0], table.shape[1],
+                                        index.shape[1]):
             return mxu_row_gather(table, index)
         return _row_gather(table, index)
 
@@ -201,7 +204,7 @@ def phase_a(db, ab_idx,
         dcs_b = db["dense_cs"][b_idx]                 # (R, U)
         if stage == 22:  # join: + ref-side dense table row gather
             return _chk(dcs_b)
-        if use_pallas and U % 1024 == 0 and K % 1024 == 0 and 64 <= U // 128:
+        if use_pallas and K % 1024 == 0 and windowed_gather_ok(R, U, K):
             # gid is ASCENDING per row (searchsorted ranks of the sorted
             # kmer table), so the union-axis gather takes the windowed
             # kernel (~0.4 ms vs ~7.5 ms full one-hot at U~126k, R=32).
@@ -398,7 +401,8 @@ def phase_a(db, ab_idx,
                            | ((apk_a & 0xFFFFFF) << 1)
                            | ((apk_a >> 24) & 1))
                 tgt = jnp.where(emit, offs_p, A)
-                if use_pallas and A % 128 == 0 and P % 2048 == 0 \
+                if use_pallas \
+                        and mxu_scatter_ok(R, P, A, 2 if fused_apk else 1) \
                         and os.environ.get("SKANI_TPU_MXU_SCATTER",
                                            "1") == "1":
                     # MXU one-hot scatter (unique targets): measured
@@ -468,8 +472,8 @@ def phase_a(db, ab_idx,
                         return _chk(awm)
                 else:
                     apk_wb = int(os.environ.get("SKANI_TPU_APK_WB", "64"))
-                    if use_pallas and apk_wb > 0 and P % 1024 == 0 \
-                            and A % 1024 == 0 and P >= apk_wb * 128:
+                    if use_pallas and apk_wb > 0 \
+                            and windowed_gather_ok(R, P, A, WB=apk_wb):
                         aw, apk_ovf = windowed_sorted_gather(
                             db["apk"][a_idx], g, WB=apk_wb)
                         join_ovf = join_ovf | apk_ovf
@@ -963,6 +967,8 @@ class DevicePairEngine:
         # stays bounded instead of the pairs falling back to the host
         a = int(1.15 * self.db.max_n_pos)
         self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 20)
+        self._icap_explicit = (i_cap is not None
+                               or "SKANI_TPU_ICAP" in os.environ)
         if i_cap is None:
             # E. coli-scale pairs produce ~420 intervals; 512 halves the
             # packed readback vs 1024 and pairs with more chains fall
@@ -1058,20 +1064,25 @@ class DevicePairEngine:
             self.sketches[g] = s
         return True
 
-    def _caps_for(self, bucket_a: int):
-        """(I_CAP, C_CAP) for one anchor bucket: chunk count scales with
-        genome length (~ bucket * c / 20000, since anchors ~ positions ~
-        len/c), so big-genome buckets (eukaryote MAGs) get wider chunk and
-        interval buffers instead of falling back to the host, and SMALL
-        buckets (150 kb-scale genomes in `search` DBs) shrink both caps —
-        the padded metadata sorts and the packed readback then scale with
-        the genomes, not with the engine's E. coli-sized defaults.  A pair
-        that overflows a shrunken cap falls back to the exact native path
-        (the same overflow guard big pairs use), so the caps are purely a
-        throughput choice."""
+    def _caps_for(self, bucket_a: int, group=()):
+        """(I_CAP, C_CAP) for one batch: chunk count scales with genome
+        length (~ bucket * c / 20000, since anchors ~ positions ~ len/c)
+        PLUS the query side's contig count (every contig with anchors
+        opens at least one chunk — fragmented draft MAGs need chunk
+        capacity their length/20000 term alone underestimates), so
+        big-genome buckets (eukaryote MAGs) get wider chunk and interval
+        buffers instead of falling back to the host, and SMALL buckets
+        (150 kb-scale genomes in `search` DBs) shrink both caps — the
+        padded metadata sorts and the packed readback then scale with
+        the genomes, not with the engine's E. coli-sized defaults.  A
+        pair that overflows a shrunken cap falls back to the exact
+        native path (the same overflow guard big pairs use), so the caps
+        are purely a throughput choice."""
         c0 = max(int(getattr(self.sketches[0], "c", 125) or 125), 1) \
             if self.sketches else 125
-        est = int(1.3 * bucket_a * c0 / 20000) + 2
+        cmax = max((len(self.sketches[item[1]].contig_lengths)
+                    for item in group), default=0)
+        est = int(1.3 * bucket_a * c0 / 20000) + 2 + cmax
         cc = min(self.C_CAP, 64)
         while cc < est and cc < 8192:
             cc *= 2
@@ -1079,8 +1090,12 @@ class DevicePairEngine:
         # intervals run ~1.5-2 per chunk on real genomes; cc already
         # carries ~2x headroom over the bucket's chunk estimate.  Small
         # buckets shrink toward 2*cc (>= 128); big buckets keep the old
-        # max(I_CAP, cc) growth
+        # max(I_CAP, cc) growth.  An EXPLICIT i_cap (ctor arg or
+        # SKANI_TPU_ICAP) is a floor, not a hint — users raise it
+        # precisely to avoid interval-overflow fallbacks
         icap = max(128, min(2 * cc, max(self.I_CAP, cc)))
+        if self._icap_explicit:
+            icap = max(icap, self.I_CAP)
         return icap, cc
 
     def _bucket_a(self, ri: int, qi: int) -> int:
@@ -1112,8 +1127,8 @@ class DevicePairEngine:
         and the single-core host finalize stay comfortably pipelined; 0
         disables).  CPU (tests) keeps the narrow width — small workloads
         would pay the padded slots without the fixed costs to amortize —
-        and tests/test_device_engine.py pins wide-batch exactness via an
-        explicit SKANI_TPU_RMAX."""
+        and tests/test_device_fuzz.py::test_device_engine_wide_batch_small_bucket
+        pins wide-batch exactness via an explicit SKANI_TPU_RMAX."""
         r_big = min(self.R, (8 << 20) // bucket_a)
         dev0 = self.device or jax.devices()[0]
         rmax = int(os.environ.get(
@@ -1136,7 +1151,7 @@ class DevicePairEngine:
         if jm == "dense_pos" \
                 and mp0.index_chain_band != getattr(self.db, "band", -1):
             jm = "dense"   # gidp was baked for a different repeat band
-        icap, ccap = self._caps_for(group[0][7])
+        icap, ccap = self._caps_for(group[0][7], group)
         ph = phase_a(
             self.db.arrays,
             idx_dev,

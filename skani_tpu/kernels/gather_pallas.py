@@ -28,6 +28,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 AT = 1024  # index-tile length
 
+# Shape-contract helpers (round 5): every kernel below holds whole row
+# blocks in VMEM, so legality is (a) the Pallas block rule — the
+# second-to-minor block dim must be divisible by 8 or equal the array
+# dim — and (b) a VMEM budget for the double-buffered blocks.  Callers
+# route shapes that fail either test to the XLA fallback instead of
+# crashing at Mosaic compile time (the compile-time analog of the
+# engine's runtime overflow-pair fallback).
+_VMEM_CAP = 100 << 20   # leave headroom under the ~128 MB v5e VMEM
+
+
+def _br_for(R: int) -> int:
+    """Largest legal Pallas row-block count for an R-row array."""
+    return 8 if R % 8 == 0 else R
+
+
+def _vmem_limit(block_bytes: int, scratch_bytes: int = 0) -> int:
+    """Scoped-vmem limit sized like dp_compact: 2.5x the (double-
+    buffered) blocks plus scratch plus slack, clamped to the chip."""
+    return min(max(int(2.5 * block_bytes) + scratch_bytes + (6 << 20),
+                   16 << 20), 110 << 20)
+
+
+def mxu_gather_ok(R: int, K: int, A: int,
+                  max_k: int | None = None) -> bool:
+    """True when mxu_row_gather both compiles and is expected to beat the
+    XLA flat gather.  The one-hot matmul cost scales linearly with the
+    table width K while the flat gather's does not (measured: MXU 2.7 ms
+    vs XLA 13 ms at K=40960, R=32, A=49152 -> linear crossover ~190k),
+    so wide tables are routed to XLA both for VMEM and for speed."""
+    if K % 128 != 0 or A % AT != 0:
+        return False
+    if max_k is None:
+        max_k = int(os.environ.get("SKANI_TPU_MXU_GATHER_MAXK",
+                                   str(1 << 17)))
+    if K > max_k:
+        return False
+    BR = _br_for(R)
+    blocks = 4 * (BR * K + 2 * BR * AT)
+    return 2 * blocks <= _VMEM_CAP
+
+
+def mxu_scatter_ok(R: int, P: int, K: int, V: int = 1) -> bool:
+    """True when the one-hot scatter kernels compile within VMEM
+    (P = source width, K = target width, V = payload count)."""
+    if K % 128 != 0 or P % 2048 != 0:
+        return False
+    BR = _br_for(R)
+    blocks = 4 * (BR * P * (1 + V) + BR * V * K)
+    scratch = (K // 128) * (V * 4 * 128) * 4
+    return 2 * blocks + scratch <= _VMEM_CAP
+
+
+def windowed_gather_ok(R: int, U: int, A: int, WB: int = 64) -> bool:
+    """True when windowed_sorted_gather compiles within VMEM (the table
+    block is still whole rows; only the matmul is windowed)."""
+    if U % 1024 != 0 or A % AT != 0 or U < WB * 128:
+        return False
+    BR = _br_for(R)
+    blocks = 4 * (BR * U + 2 * BR * AT)
+    return 2 * blocks <= _VMEM_CAP
+
 
 def _use_i8() -> bool:
     """int8 plane matmuls (v5e MXU runs int8 x int8 -> int32 at 2x the
@@ -101,7 +162,7 @@ def windowed_sorted_gather(table, idx, WB: int = 64,
     assert U % 1024 == 0 and A % AT == 0
     UB = U // 128
     assert WB <= UB
-    BR = 8 if R % 8 == 0 else R
+    BR = _br_for(R)
     t3 = table.reshape(R, UB, 128)
     kern = functools.partial(_wg_kern, UB=UB, WB=WB, BR=BR,
                              i8=_resolve_i8(i8))
@@ -115,6 +176,8 @@ def windowed_sorted_gather(table, idx, WB: int = 64,
         out_specs=pl.BlockSpec((BR, AT), lambda r, a: (r, a),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, A), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(4 * (BR * U + 2 * BR * AT))),
         interpret=interpret,
     )(t3, idx)
     # per-tile range check in XLA (cheap reductions), mirroring the
@@ -220,10 +283,11 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False, i8=None):
     assert K % 128 == 0
     PC = 2048
     assert P % PC == 0
-    BR = 8 if R % 8 == 0 else R
+    BR = _br_for(R)
     i8 = _resolve_i8(i8)
     kern = functools.partial(_scat_kern, P=P, KB=K // 128, PC=PC,
                              NC=P // PC, BR=BR, i8=i8)
+    scratch = 4 * (K // 128) * 128 * 4
     return pl.pallas_call(
         kern,
         grid=(R // BR,),
@@ -236,6 +300,9 @@ def mxu_row_scatter(idx, vals, K, interpret: bool = False, i8=None):
         out_shape=jax.ShapeDtypeStruct((R, K), jnp.int32),
         scratch_shapes=[pltpu.VMEM((4 * (K // 128), 128),
                                    jnp.int32 if i8 else jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(4 * (2 * BR * P + BR * K),
+                                         scratch)),
         interpret=interpret,
     )(idx, vals)
 
@@ -299,8 +366,11 @@ def mxu_row_scatter_multi(idx, vals, K, interpret: bool = False, i8=None):
     assert K % 128 == 0
     PC = 2048
     assert P % PC == 0
-    # V payload accs + blocks must fit VMEM alongside idx/vals/out
-    BR = 8 if (R % 8 == 0 and V <= 2) else (4 if R % 4 == 0 else R)
+    # Pallas block rule: the row-block must be divisible by 8 or equal R
+    # (the old BR=4 shrink for V>2 was ILLEGAL at e.g. R=12 and crashed
+    # at Mosaic compile time); VMEM pressure is handled by the sized
+    # vmem_limit below plus the caller-side mxu_scatter_ok predicate
+    BR = _br_for(R)
     i8 = _resolve_i8(i8)
     kern = functools.partial(_scat_multi_kern, P=P, KB=K // 128, PC=PC,
                              NC=P // PC, BR=BR, V=V, i8=i8)
@@ -384,7 +454,7 @@ def mxu_row_scatter_multi_wide(idx, vals, K, interpret: bool = False,
     assert K % 128 == 0
     PC = 2048
     assert P % PC == 0
-    BR = 8 if (R % 8 == 0 and V <= 2) else (4 if R % 4 == 0 else R)
+    BR = _br_for(R)   # block rule: divisible by 8 or equal R (see multi)
     i8 = _resolve_i8(i8)
     kern = functools.partial(_scat_multi_wide_kern, P=P, KB=K // 128, PC=PC,
                              NC=P // PC, BR=BR, V=V, i8=i8)
@@ -417,8 +487,7 @@ def mxu_row_gather(table, idx, interpret: bool = False, i8=None):
     R, K = table.shape
     _, A = idx.shape
     assert K % 128 == 0 and A % AT == 0
-    BR = 8 if R % 8 == 0 else R
-    assert R % BR == 0
+    BR = _br_for(R)
     kern = functools.partial(_kern, KB=K // 128, BR=BR, i8=_resolve_i8(i8))
     return pl.pallas_call(
         kern,
@@ -430,5 +499,7 @@ def mxu_row_gather(table, idx, interpret: bool = False, i8=None):
         out_specs=pl.BlockSpec((BR, AT), lambda r, a: (r, a),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((R, A), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(4 * (BR * K + 2 * BR * AT))),
         interpret=interpret,
     )(table, idx)
