@@ -137,8 +137,12 @@ class DeviceDb:
         G = len(sketches)
         self.sketches = list(sketches)
         self.mode = mode
+        # K at 2048 granularity (every K-domain op accepts 1024; the join
+        # word tables ride gathers whose cost scales with K).  P keeps
+        # the 4096 stride: it is the expansion scatter's source width and
+        # the wide scatter chunks it at 4096 (P % PC == 0).
         K = _round_up(max([min_k] + [len(s.seed_kmers) for s in sketches]
-                          + [16]))
+                          + [16]), step=2048, floor=4096)
         P = _round_up(max([min_p] + [len(s.seed_pos) for s in sketches]
                           + [16]))
         self.max_n_pos = max((len(s.seed_pos) for s in sketches), default=16)

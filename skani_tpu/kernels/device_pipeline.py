@@ -94,7 +94,8 @@ from .. import stats
 from .device_db import PACK_RC_SHIFT, DeviceDb
 from .dp_pallas import dp_chain, dp_chain_packed
 from .expand_pallas import expand_anchors
-from .gather_pallas import (mxu_gather_ok, mxu_row_gather, mxu_row_scatter,
+from .gather_pallas import (genome_map_gather, genome_map_gather_ok,
+                            mxu_gather_ok, mxu_row_gather, mxu_row_scatter,
                             mxu_row_scatter_multi_wide, mxu_scatter_ok,
                             windowed_gather_ok, windowed_sorted_gather)
 
@@ -325,7 +326,6 @@ def phase_a(db, ab_idx,
         # (types.rs:499-506).  DNA seeds have unique (contig, position), so
         # this order is total; AAI mode uses the legacy path.
         if not pos_join:
-            skid_a = db["skid"][a_idx]                 # (R, P)
             n_pos_a = db["n_pos"][a_idx][:, None]
             pcols_v = jnp.broadcast_to(
                 jnp.arange(P, dtype=jnp.int32)[None, :], (R, P))
@@ -334,7 +334,18 @@ def phase_a(db, ab_idx,
                 # per-kmer join word -> position domain (one row-local
                 # gather); b_start < 2^19, count <= band < 2^12
                 jw = jnp.where(pair_ok, (b_start_hit << 12) | b_cnt_hit, 0)
-                jw_p = jnp.where(valid_p, rg(jw, skid_a), 0)
+                if use_pallas \
+                        and genome_map_gather_ok(db["skid"].shape[0], P, K) \
+                        and os.environ.get("SKANI_TPU_GMAP", "1") == "1":
+                    # skid is per-GENOME constant, so the one-hot factors
+                    # cache across a genome's rows (batch rows arrive
+                    # sorted by query genome) — and the (R, P) skid row
+                    # gather disappears with them
+                    jw_p = jnp.where(
+                        valid_p, genome_map_gather(db["skid"], a_idx, jw),
+                        0)
+                else:
+                    jw_p = jnp.where(valid_p, rg(jw, db["skid"][a_idx]), 0)
                 cnt_p = jw_p & 0xFFF
                 bs_p = jw_p >> 12
             else:
@@ -343,6 +354,7 @@ def phase_a(db, ab_idx,
                 # word — two separate mapping gathers
                 cnt_w = jnp.where(pair_ok, b_cnt_hit, 0)
                 bs_w = jnp.where(pair_ok, b_start_hit, 0)
+                skid_a = db["skid"][a_idx]
                 cnt_p = jnp.where(valid_p, rg(cnt_w, skid_a), 0)
                 bs_p = jnp.where(valid_p, rg(bs_w, skid_a), 0)
         pcols = jnp.broadcast_to(
@@ -965,8 +977,12 @@ class DevicePairEngine:
         # 2^19 anchors covers ~65 Mbp eukaryote MAGs at c=125; batches of
         # large buckets shrink (see _r_for) so the padded (R, A) domain
         # stays bounded instead of the pairs falling back to the host
+        # 2048-granular A (the tightest stride every A-domain op accepts:
+        # dp_compact segment length 2048, windowed/one-hot index tiles
+        # 1024, scatter target 128) — the old 8192 rounding padded the
+        # E. coli bucket 14% past need, and every (R, A) pass pays it
         a = int(1.15 * self.db.max_n_pos)
-        self.A = min(max(((a + 8191) // 8192) * 8192, 8192), 1 << 20)
+        self.A = min(max(((a + 2047) // 2048) * 2048, 8192), 1 << 20)
         self._icap_explicit = (i_cap is not None
                                or "SKANI_TPU_ICAP" in os.environ)
         if i_cap is None:
@@ -1103,14 +1119,14 @@ class DevicePairEngine:
         bucket covering ~1.15x the larger seed-position count, so small
         genomes in a heterogeneous DB don't pay the global max's padded
         (R, A) domain.  A pair only drops to a smaller bucket when that
-        saves >= 4x — each distinct bucket is a separate phase_a
+        saves >= 3x — each distinct bucket is a separate phase_a
         compilation, so the shape set is kept tiny."""
         need = int(1.15 * max(len(self.sketches[ri].seed_pos),
                               len(self.sketches[qi].seed_pos)))
         b = 8192
         while b < need:
             b *= 2
-        return b if 4 * b <= self.A else self.A
+        return b if 3 * b <= self.A else self.A
 
     def _r_for(self, bucket_a: int) -> int:
         """Batch rows for one anchor bucket.  Two bounds meet here:
@@ -1454,8 +1470,11 @@ class DevicePairEngine:
             meta.append((t, ri if sw else qi, qi if sw else ri, sw, mp,
                          ri, qi, self._bucket_a(ri, qi)))
         # group same-bucket pairs so each device batch compiles/runs at its
-        # own (R, A) shape; stable sort keeps input order within a bucket
-        meta.sort(key=lambda m: m[7])
+        # own (R, A) shape; the secondary key groups a bucket's pairs by
+        # QUERY genome so genome_map_gather's cached one-hot factors
+        # amortize across each genome's rows (per-pair results are
+        # order-independent; the stable sort keeps input order otherwise)
+        meta.sort(key=lambda m: (m[7], m[1]))
 
         lock = threading.Lock()
         lo_hi = [0, len(meta)]   # [front, back) of the shared work queue

@@ -452,7 +452,10 @@ def mxu_row_scatter_multi_wide(idx, vals, K, interpret: bool = False,
     R, V, P = vals.shape
     assert idx.shape == (R, P)
     assert K % 128 == 0
-    PC = 2048
+    # 4096-chunks when the source allows: same MACs, half the chunk-loop
+    # iterations and fuller MXU tiles (hardware A/B: 4.23 vs 4.56 ms at
+    # (32, 2, 40960) -> (32, 2, 49152), scripts/microbench_round5.py)
+    PC = 4096 if P % 4096 == 0 else 2048
     assert P % PC == 0
     BR = _br_for(R)   # block rule: divisible by 8 or equal R (see multi)
     i8 = _resolve_i8(i8)
@@ -477,6 +480,102 @@ def mxu_row_scatter_multi_wide(idx, vals, K, interpret: bool = False,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(idx, vals)
+
+
+def _gmap_kern(a_ref, skid_ref, jw_ref, o_ref, oh_hi, oh_lo, jw4w,
+               *, P, KB, PT, NP):
+    # genome-cached one-hot map gather: out[r, p] = jw[r, skid[a[r], p]].
+    # The one-hot factors depend only on the QUERY GENOME's constant skid
+    # row, so they are (re)built in scratch only when the genome changes
+    # between consecutive grid steps (the dispatcher sorts batch rows by
+    # query genome) — the per-row VPU one-hot build, which dominates the
+    # generic mxu_row_gather (~3.5 of ~5.6 ms at production shapes, see
+    # scripts/microbench_round5.py), amortizes over all of a genome's
+    # rows.  The plane matmuls still run per row on the MXU.
+    r = pl.program_id(0)
+    prev = a_ref[jnp.maximum(r - 1, 0)]
+    rebuild = (r == 0) | (a_ref[r] != prev)
+
+    @pl.when(rebuild)
+    def _():
+        sk = skid_ref[0, 0, :].reshape(P, 1)
+        oh_hi[...] = ((sk >> 7) == jax.lax.broadcasted_iota(
+            jnp.int32, (P, KB), 1)).astype(jnp.int8)
+        oh_lo[...] = ((sk & 127) == jax.lax.broadcasted_iota(
+            jnp.int32, (P, 128), 1)).astype(jnp.int8)
+
+    tab = jw_ref[0, 0, :].reshape(KB, 128)
+    jw4w[...] = jnp.concatenate(
+        [((tab >> (8 * p)) & 0xFF).astype(jnp.int8) for p in range(4)],
+        axis=1)                                       # (KB, 512)
+
+    def tile(pt, _):
+        sl = pl.ds(pt * PT, PT)
+        rows4 = jnp.dot(oh_hi[sl, :], jw4w[...],
+                        preferred_element_type=jnp.int32)   # (PT, 512)
+        lo = oh_lo[sl, :]
+        v = jnp.zeros((PT,), jnp.int32)
+        for p in range(4):
+            rows = rows4[:, p * 128:(p + 1) * 128]
+            vp = jnp.sum(lo.astype(jnp.int32) * rows, axis=1)
+            v = v | ((vp & 0xFF) << (8 * p))
+        o_ref[0, 0, sl] = v
+        return 0
+
+    jax.lax.fori_loop(0, NP, tile, 0)
+
+
+def genome_map_gather_ok(G: int, P: int, K: int) -> bool:
+    """True when genome_map_gather compiles within VMEM: the cached
+    one-hot scratch is P x (KB + 128) int8 plus the (PT, 512) i32
+    matmul tile."""
+    if P % 4096 != 0 or K % 128 != 0 or P >= (1 << 19):
+        return False
+    KB = K // 128
+    kb_pad = ((KB + 127) // 128) * 128
+    scratch = P * (kb_pad + 128) + KB * 512 + 4096 * 512 * 4
+    blocks = 4 * (P + K + P)
+    return 2 * blocks + scratch <= _VMEM_CAP
+
+
+def genome_map_gather(skid, a_idx, jw, interpret: bool = False):
+    """out[r, p] = jw[r, skid[a_idx[r], p]] — the join-word kmer->position
+    mapping with per-GENOME one-hot caching (see _gmap_kern).  skid is
+    the full (G, P) device table; a_idx (R,) int32 selects each row's
+    genome (rows should be sorted by a_idx for maximal cache reuse —
+    correctness does not depend on it).  Padding positions (skid == 0)
+    read jw[:, 0]; callers mask with valid_p exactly as they do for the
+    generic gather."""
+    G, P = skid.shape
+    R, K = jw.shape
+    KB = K // 128
+    PT = 4096
+    assert P % PT == 0 and K % 128 == 0
+    kern = functools.partial(_gmap_kern, P=P, KB=KB, PT=PT, NP=P // PT)
+    kb_pad = ((KB + 127) // 128) * 128
+    scratch = P * (kb_pad + 128) + KB * 512 + PT * 512 * 4
+    vmem_limit = min(max(2 * 4 * (P + K + P) + scratch + (8 << 20),
+                         16 << 20), 110 << 20)
+    # unit middle axis: a (1, 1, P) block's LAST TWO dims match the
+    # (G, 1, P) array, satisfying the Pallas block rule for 1-row blocks
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(R,),
+        in_specs=[pl.BlockSpec((1, 1, P), lambda r, a_ref: (a_ref[r], 0, 0)),
+                  pl.BlockSpec((1, 1, K), lambda r, a_ref: (r, 0, 0))],
+        out_specs=pl.BlockSpec((1, 1, P), lambda r, a_ref: (r, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((P, KB), jnp.int8),
+                        pltpu.VMEM((P, 128), jnp.int8),
+                        pltpu.VMEM((KB, 512), jnp.int8)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((R, 1, P), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(a_idx, skid.reshape(G, 1, P), jw.reshape(R, 1, K))
+    return out.reshape(R, P)
 
 
 def mxu_row_gather(table, idx, interpret: bool = False, i8=None):

@@ -19,9 +19,10 @@ import jax
 import jax.numpy as jnp
 
 from skani_tpu.kernels.gather_pallas import (
-    AT, _br_for, mxu_gather_ok, mxu_row_gather, mxu_row_scatter,
-    mxu_row_scatter_multi, mxu_row_scatter_multi_wide, mxu_scatter_ok,
-    windowed_gather_ok, windowed_sorted_gather)
+    AT, _br_for, genome_map_gather, genome_map_gather_ok, mxu_gather_ok,
+    mxu_row_gather, mxu_row_scatter, mxu_row_scatter_multi,
+    mxu_row_scatter_multi_wide, mxu_scatter_ok, windowed_gather_ok,
+    windowed_sorted_gather)
 
 ON_TPU = jax.devices()[0].platform == "tpu"
 
@@ -99,6 +100,28 @@ def test_scatter_multi_exact_where_admitted(R):
             out1 = np.asarray(mxu_row_scatter(
                 jnp.asarray(idx), jnp.asarray(vals[:, 0]), K))
             assert (out1 == exp[:, 0]).all(), R
+
+
+@pytest.mark.parametrize("order", ("sorted", "shuffled"))
+def test_genome_map_gather_exact(order):
+    """The genome-cached map gather must be exact whether or not batch
+    rows arrive grouped by genome (grouping is a speed hint only).
+    Interpret mode on CPU; the real Mosaic kernel on hardware."""
+    rng = np.random.default_rng(7)
+    G, P, K, R = 4, 4096, 2048, 12
+    if not genome_map_gather_ok(G, P, K):
+        pytest.skip("not admitted")
+    skid = rng.integers(0, K, (G, P)).astype(np.int32)
+    a_idx = np.array([0, 0, 0, 1, 1, 2, 2, 2, 2, 3, 3, 0], np.int32)
+    if order == "shuffled":
+        a_idx = a_idx[rng.permutation(R)]
+    jw = rng.integers(-(2 ** 31), 2 ** 31, (R, K),
+                      dtype=np.int64).astype(np.int32)
+    out = np.asarray(genome_map_gather(
+        jnp.asarray(skid), jnp.asarray(a_idx), jnp.asarray(jw),
+        interpret=not ON_TPU))
+    exp = np.stack([jw[r][skid[a_idx[r]]] for r in range(R)])
+    assert (out == exp).all()
 
 
 @pytest.mark.skipif(not ON_TPU, reason="hardware-only")
