@@ -54,9 +54,13 @@ from skani_tpu.sketch import Sketch, default_seeder, _finalize_sketch
 from skani_tpu import fastx
 
 SOURCE = "/root/reference/test_files/e.coli-W.fasta.gz"
-# 20 genomes -> 190 unique pairs: enough batches for the pipelined
-# steady state to dominate edge effects at production batch sizes
-N_GENOMES = int(os.environ.get("BENCH_GENOMES", "20"))
+# 32 genomes -> 496 unique pairs (16 batches of 32).  The earlier
+# 20-genome default (190 pairs = 6 batches) spent ~20% of wall on
+# pipeline fill/drain at round-5 engine speeds (measured: 762 vs 960
+# pairs/s at 190 vs 496 pairs), so it under-reported the engine, not
+# the edge effects it was sized to avoid.  The single-thread baseline
+# runs the IDENTICAL workload, so vs_baseline stays apples-to-apples.
+N_GENOMES = int(os.environ.get("BENCH_GENOMES", "32"))
 TIERS = os.environ.get("BENCH_TIERS", "main,distant,search,cli").split(",")
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 

@@ -182,12 +182,44 @@ def _finalize_sketch(sk: Sketch, kmers_parts, pos_parts, canon_parts,
 _LINK_FAST: Optional[bool] = None
 
 
+def _link_probe_cache_path() -> str:
+    import os
+    return os.path.join(
+        os.environ.get("SKANI_TPU_CACHE_DIR",
+                       os.path.expanduser("~/.cache/skani_jax")),
+        "link_probe.json")
+
+
+def _link_probe_key() -> str:
+    import os
+    return os.environ.get("PALLAS_AXON_POOL_IPS", "local")
+
+
 def _accelerator_link_is_fast(threshold_bytes_per_s: float = 2e8) -> bool:
     """One-time probe of host->accelerator bandwidth.  Device seeding is
     transfer-bound (raw 2-bit-encodable sequence up, survivors down): it
     only wins over the native C++ kernel on a locally attached accelerator
-    (PCIe/ICI, GB/s), never over a tunneled link (~60 MB/s here)."""
+    (PCIe/ICI, GB/s), never over a tunneled link (~60 MB/s here).
+
+    The verdict is CACHED ON DISK (24 h, keyed by the accelerator
+    endpoint): the probe itself costs a device claim + first-touch,
+    which on a contended tunneled pool is minutes (measured 211 s) —
+    without the cache every fresh CLI process re-paid it the moment the
+    workload crossed _PROBE_MIN_BASES."""
     global _LINK_FAST
+    if _LINK_FAST is None:
+        import json
+        import os
+        import time as _time
+        try:
+            with open(_link_probe_cache_path()) as f:
+                ent = json.load(f)
+            if ent.get("key") == _link_probe_key() \
+                    and _time.time() - ent.get("ts", 0) < 86400:
+                _LINK_FAST = bool(ent["fast"])
+                return _LINK_FAST
+        except Exception:
+            pass
     if _LINK_FAST is None:
         # watchdogged backend probe first: a wedged device pool hangs
         # jax.devices() forever, and sketching must degrade to the
@@ -220,6 +252,19 @@ def _accelerator_link_is_fast(threshold_bytes_per_s: float = 2e8) -> bool:
                               ) > threshold_bytes_per_s
         except Exception:
             _LINK_FAST = False
+        try:
+            import json
+            import os
+            import time as _time
+            path = _link_probe_cache_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({"key": _link_probe_key(), "fast": _LINK_FAST,
+                           "ts": _time.time()}, f)
+            os.replace(tmp, path)
+        except Exception:
+            pass
     return _LINK_FAST
 
 
