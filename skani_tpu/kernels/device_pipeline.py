@@ -1098,7 +1098,13 @@ class DevicePairEngine:
             if self.sketches else 125
         cmax = max((len(self.sketches[item[1]].contig_lengths)
                     for item in group), default=0)
-        est = int(1.3 * bucket_a * c0 / 20000) + 2 + cmax
+        # chunk count scales with the QUERY GENOME LENGTH (~positions*c /
+        # 20000), NOT with the anchor bucket: a distant pair has few
+        # anchors (small bucket) spread over the whole genome, so it
+        # opens just as many 20 kb fragments as a near-identical pair
+        pmax = max((len(self.sketches[item[1]].seed_pos)
+                    for item in group), default=0)
+        est = int(1.3 * max(bucket_a, pmax) * c0 / 20000) + 2 + cmax
         cc = min(self.C_CAP, 64)
         while cc < est and cc < 8192:
             cc *= 2
@@ -1114,15 +1120,70 @@ class DevicePairEngine:
             icap = max(icap, self.I_CAP)
         return icap, cc
 
+    def _marker_survival(self, ri: int, qi: int) -> float:
+        """Predicted per-seed anchor survival for a pair from its marker
+        sketches: shared-marker containment c_m ~ ani^21 (21-mer
+        markers), so the k-mer seed hit rate ~ ani^k = c_m^(k/21).  The
+        intersect runs on the tiny sorted marker arrays (~len/1000
+        entries, tens of microseconds) — the same signal the screen uses
+        (reference: src/screen.rs:84-142), reused here to size the
+        anchor buffer instead of to reject the pair."""
+        key = (ri, qi) if ri <= qi else (qi, ri)
+        cache = getattr(self, "_surv_cache", None)
+        if cache is None:
+            cache = self._surv_cache = {}
+        s = cache.get(key)
+        if s is not None:
+            return s
+        a, b = self.sketches[ri], self.sketches[qi]
+
+        def sorted_markers(sk):
+            m = getattr(sk, "_markers_sorted", None)
+            if m is None:
+                m = np.asarray(sk.marker_seeds)
+                if len(m) > 1 and not bool((m[1:] >= m[:-1]).all()):
+                    m = np.sort(m)   # DB-deserialized sketches may carry
+                sk._markers_sorted = m  # the reference's hash-set order
+            return m
+
+        ma, mb = sorted_markers(a), sorted_markers(b)
+        if len(ma) < 20 or len(mb) < 20:   # rescue_small regime: no signal
+            s = 1.0
+        else:
+            if len(mb) < len(ma):
+                ma, mb = mb, ma
+            # a searchsorted membership count on the cached sorted arrays
+            # avoids intersect1d's per-call re-sorts
+            idx = np.searchsorted(mb, ma)
+            idx_c = np.minimum(idx, len(mb) - 1)
+            shared = int(np.count_nonzero(mb[idx_c] == ma))
+            c_m = shared / min(len(ma), len(mb))
+            k = int(getattr(a, "k", 15) or 15)
+            s = min(1.0, c_m ** (k / 21.0)) if c_m > 0 else 0.0
+        cache[key] = s
+        return s
+
     def _bucket_a(self, ri: int, qi: int) -> int:
         """Anchor-buffer size for one pair: the smallest power-of-two
-        bucket covering ~1.15x the larger seed-position count, so small
-        genomes in a heterogeneous DB don't pay the global max's padded
-        (R, A) domain.  A pair only drops to a smaller bucket when that
-        saves >= 3x — each distinct bucket is a separate phase_a
-        compilation, so the shape set is kept tiny."""
-        need = int(1.15 * max(len(self.sketches[ri].seed_pos),
-                              len(self.sketches[qi].seed_pos)))
+        bucket covering the PREDICTED anchor count — the larger
+        seed-position count scaled by the marker-predicted seed survival
+        (x1.6 safety).  Near-identical pairs keep the old ~1.15x
+        positions sizing; DISTANT pairs (82-95% ANI, where survival is
+        0.03-0.45) drop to much smaller buckets, so the A-domain passes
+        stop paying near-identical-sized padding for sparse anchors.  An
+        underestimate is safe: the total > A overflow guard routes the
+        pair to the exact native path.  A pair only drops to a smaller
+        bucket when that saves >= 3x — each distinct bucket is a
+        separate phase_a compilation, so the shape set is kept tiny."""
+        pmax = max(len(self.sketches[ri].seed_pos),
+                   len(self.sketches[qi].seed_pos))
+        if os.environ.get("SKANI_TPU_ANCHOR_BUCKETS", "1") == "1" \
+                and not getattr(self.sketch_params, "use_aa", False):
+            surv = self._marker_survival(ri, qi)
+            need = int(1.6 * pmax * max(surv, 0.02)) + 64
+            need = min(need, int(1.15 * pmax))
+        else:
+            need = int(1.15 * pmax)
         b = 8192
         while b < need:
             b *= 2
@@ -1152,11 +1213,23 @@ class DevicePairEngine:
         r_small = min(rmax, (self.R * 49152) // bucket_a)
         return max(2, r_big, r_small)
 
+    def _r_shape(self, group) -> int:
+        """Batch SHAPE for one formed group: _r_for's width, halved while
+        the group fills less than half of it (min 8).  Padded rows cost
+        the same as real rows under fixed shapes — a 23-pair workload in
+        a 192-row wide batch would pay 169 rows of full device work.
+        Halving keeps the compiled-shape set small and disk-cached."""
+        r = self._r_for(group[0][7])
+        n = max(len(group), 8)
+        while r // 2 >= n and r > 8:
+            r //= 2
+        return r
+
     def _dispatch_phase_a(self, group, mp0, idx_dev=None):
         dev = self.device or jax.devices()[0]
         put = lambda x: jax.device_put(jnp.asarray(x), dev)
         if idx_dev is None:
-            r_b = self._r_for(group[0][7])
+            r_b = self._r_shape(group)
             a_idx = np.zeros(r_b, dtype=np.int32)
             b_idx = np.zeros(r_b, dtype=np.int32)
             for w, item in enumerate(group):
@@ -1528,7 +1601,7 @@ class DevicePairEngine:
                             _held.append(g2)   # next bucket starts here
                             break
                         groups.append(g2)
-                    r_b = self._r_for(g[0][7])
+                    r_b = max(self._r_shape(gr) for gr in groups)
                     idx = np.zeros((len(groups), 2, r_b), dtype=np.int32)
                     for i, gr in enumerate(groups):
                         for w, item in enumerate(gr):
