@@ -31,7 +31,7 @@ env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
 # Both configurations must pass (tests/conftest.py contract).
 python -m pytest tests/test_device_engine.py tests/test_dp_pallas.py \
     tests/test_gather_pallas.py tests/test_dp_compact.py \
-    tests/test_device_fuzz.py \
+    tests/test_device_fuzz.py tests/test_kernel_contracts.py \
     tests/test_executor_equivalence.py -q -rA 2>&1 \
     | tee "${OUT}/test_log_accel.txt"
 python bench.py 2>/dev/null | tee "${OUT}/bench.json"

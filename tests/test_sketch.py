@@ -81,3 +81,42 @@ def test_sketch_roundtrip_v03_format():
     assert np.array_equal(mine.marker_seeds, sk2.marker_seeds)
     assert mine.contigs == sk2.contigs
     assert np.array_equal(mine.contig_lengths, sk2.contig_lengths)
+
+
+def test_link_probe_disk_cache(tmp_path, monkeypatch):
+    """The accelerator link-speed probe persists its verdict on disk:
+    the probe costs a device claim + first-touch (minutes on a
+    contended tunneled pool), so a fresh process must read the cached
+    verdict instead of re-paying it (round-5 fix: the CLI triangle
+    spent 69 s of 73 s re-probing a link it had already measured)."""
+    import json
+    import time
+
+    import skani_tpu.sketch as sk
+    from skani_tpu import engine
+
+    monkeypatch.setenv("SKANI_TPU_CACHE_DIR", str(tmp_path))
+
+    # 1. no accelerator -> False, fast, and no cache write (no probe paid)
+    monkeypatch.setattr(sk, "_LINK_FAST", None)
+    monkeypatch.setattr(engine, "_accelerator_present", lambda: False)
+    assert sk._accelerator_link_is_fast() is False
+    assert not (tmp_path / "link_probe.json").exists()
+
+    # 2. a cached verdict is honored without touching the accelerator
+    (tmp_path / "link_probe.json").write_text(json.dumps(
+        {"key": sk._link_probe_key(), "fast": True, "ts": time.time()}))
+    monkeypatch.setattr(sk, "_LINK_FAST", None)
+
+    def boom():
+        raise AssertionError("probe ran despite fresh cache")
+
+    monkeypatch.setattr(engine, "_accelerator_present", boom)
+    assert sk._accelerator_link_is_fast() is True
+
+    # 3. a stale or mismatched-endpoint entry is ignored
+    (tmp_path / "link_probe.json").write_text(json.dumps(
+        {"key": "elsewhere", "fast": True, "ts": time.time()}))
+    monkeypatch.setattr(sk, "_LINK_FAST", None)
+    monkeypatch.setattr(engine, "_accelerator_present", lambda: False)
+    assert sk._accelerator_link_is_fast() is False
