@@ -262,7 +262,11 @@ def tier_search(device_up):
 def tier_cli_triangle():
     """Whole-driver CLI triangle: sketching + screening + chaining +
     sparse write, as a user would run it.  Catches regressions outside
-    the pair engine (parsing, writers, orchestration)."""
+    the pair engine (parsing, writers, orchestration).  Runs the NATIVE
+    executor: the device engine is already measured by the main/distant
+    tiers, and a subprocess claiming the accelerator pool while the
+    parent bench holds it stalls ~1 min on claim contention (measured
+    62 s in-bench vs 5.5 s standalone for the same workload)."""
     n = int(os.environ.get("BENCH_CLI_GENOMES", "14"))
     genomes = make_genomes(n, lo=0.003, hi=0.02, seed=41)
     work = tempfile.mkdtemp(prefix="skani_bench_cli_")
@@ -274,12 +278,13 @@ def tier_cli_triangle():
                 f.write(b">" + name.encode() + b"\n" + s.tobytes() + b"\n")
             paths.append(p)
         out = os.path.join(work, "tri.tsv")
+        env = dict(os.environ, SKANI_TPU_EXECUTOR="native")
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, "-m", "skani_tpu", "triangle", *paths,
              "-o", out, "--sparse", "-t", str(os.cpu_count() or 1)],
             cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, timeout=1800)
+            env=env, capture_output=True, timeout=1800)
         wall = time.time() - t0
         n_pairs = n * (n - 1) // 2
         rows = 0
