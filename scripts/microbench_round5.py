@@ -175,6 +175,66 @@ def scatter_pc(idx, vals, K, PC, BR):
     )(idx, vals)
 
 
+# --- gather variant: lo-select via MXU matmul against a constant
+# block-diagonal ones matrix instead of 4 lane reductions ----------------
+def _gkern_matsum(t_ref, i_ref, o_ref, *, KB, BR, AT):
+    def body(rr, _):
+        tab = t_ref[pl.ds(rr, 1), :].reshape(KB, 128)
+        ix = i_ref[pl.ds(rr, 1), :].reshape(AT, 1)
+        hi = ix >> 7
+        lo = ix & 127
+        oh_hi = (hi == jax.lax.broadcasted_iota(jnp.int32, (AT, KB), 1)
+                 ).astype(jnp.int8)
+        oh_lo = lo == jax.lax.broadcasted_iota(jnp.int32, (AT, 128), 1)
+        tabw = jnp.concatenate(
+            [((tab >> (8 * p)) & 0xFF).astype(jnp.int8) for p in range(4)],
+            axis=1)
+        rows4 = jnp.dot(oh_hi, tabw, preferred_element_type=jnp.int32)
+        # mask built directly on the 512 lanes (no bool concat — Mosaic
+        # mislowers the concatenated-select on hardware) and applied as
+        # an int32 product before the int8 downcast; masked values are
+        # signed bytes (-128..127) so the int8 matmul is exact
+        # per-plane (AT,128)x(128,128) dots against a rank-1 ones column
+        # (the single 512-contraction dot mislowered on hardware:
+        # byte-plane 2 zeroed on alternating sublanes, exact in
+        # interpret mode — recorded Mosaic bug)
+        oh8 = oh_lo.astype(jnp.int8)
+        ones_col = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                    == 0).astype(jnp.int8)
+        v = jnp.zeros((AT,), jnp.int32)
+        for p in range(4):
+            rows = rows4[:, p * 128:(p + 1) * 128]
+            masked = (oh8.astype(jnp.int32) * rows).astype(jnp.int8)
+            s = jnp.dot(masked, ones_col,
+                        preferred_element_type=jnp.int32)[:, 0]
+            v = v | ((s & 0xFF) << (8 * p))
+        o_ref[pl.ds(rr, 1), :] = v.reshape(1, AT)
+        return 0
+
+    jax.lax.fori_loop(0, BR, body, 0)
+
+
+def gather_matsum(table, idx, AT, BR):
+    Rl, K = table.shape
+    _, Al = idx.shape
+    kern = functools.partial(_gkern_matsum, KB=K // 128, BR=BR, AT=AT)
+    blocks = 4 * (BR * K + 2 * BR * AT)
+    return pl.pallas_call(
+        kern,
+        grid=(Rl // BR, Al // AT),
+        in_specs=[pl.BlockSpec((BR, K), lambda r, a: (r, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((BR, AT), lambda r, a: (r, a),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BR, AT), lambda r, a: (r, a),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Rl, Al), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(int(2.5 * blocks) + (40 << 20),
+                                     16 << 20), 110 << 20)),
+    )(table, idx)
+
+
 # --- gather ablations: where do the ~5.6 ms go? ------------------------
 def _gkern_ablate(t_ref, i_ref, o_ref, *, KB, BR, AT, mode):
     def body(rr, _):
@@ -254,6 +314,17 @@ def main():
                   f" ms [{ok}]", flush=True)
         except Exception as e:
             print(f"gather AT={AT} BR=8: FAILED "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+
+    for AT in (1024, 4096):
+        try:
+            fn = jax.jit(functools.partial(gather_matsum, AT=AT, BR=8))
+            got = np.asarray(fn(table, idx))
+            ok = "exact" if np.array_equal(ref, got) else "MISMATCH"
+            print(f"gather[matsum] AT={AT}: {bench(fn, table, idx):.2f}"
+                  f" ms [{ok}]", flush=True)
+        except Exception as e:
+            print(f"gather[matsum] AT={AT}: FAILED "
                   f"{str(e).splitlines()[0][:120]}", flush=True)
 
     # genome-cached map gather vs the generic one-hot at the SAME work:
